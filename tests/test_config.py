@@ -1,0 +1,104 @@
+"""Config engine tests: Hydra-equivalent composition and override semantics."""
+
+from fullbatchtraining_tpu.config import load_config, to_yaml
+
+
+def test_default_composition(config_dir):
+    cfg = load_config(config_dir)
+    assert cfg.data.name == "CIFAR10"
+    assert cfg.data.classes == 10
+    assert cfg.model.name == "ResNet18"
+    # base_sgd specializes _default_hyperparams (defaults-then-self merge).
+    assert cfg.hyp.template_name == "baseline"
+    assert cfg.hyp.train_stochastic is True
+    assert cfg.hyp.shuffle is True
+    assert cfg.hyp.steps == 300
+    # Nested group defaults inside hyp.
+    assert cfg.hyp.optim.name == "Gradient Descent"
+    assert cfg.hyp.optim.weight_decay == 5e-4
+    assert cfg.hyp.optim_modification.name == "none"
+    # Untouched defaults survive specialization.
+    assert cfg.hyp.grad_reg.implementation == "forward-differences"
+    assert cfg.hyp.grad_reg.eps == 1e-2
+    assert cfg.dryrun is False
+
+
+def test_group_switch(config_dir):
+    cfg = load_config(config_dir, overrides=["hyp=gradreg", "data=CIFAR100"])
+    assert cfg.hyp.template_name == "fbgradreg"
+    assert cfg.hyp.train_stochastic is False
+    assert cfg.hyp.steps == 3000
+    assert cfg.hyp.optim.lr == 0.8
+    assert cfg.hyp.grad_clip == 0.25
+    assert cfg.hyp.grad_reg.block_strength == 0.5
+    # grad_reg defaults not overridden by the template remain.
+    assert cfg.hyp.grad_reg.acc_strength == 0.0
+    assert cfg.data.classes == 100
+
+
+def test_nested_group_switch(config_dir):
+    cfg = load_config(config_dir, overrides=["hyp/optim=adam", "hyp.optim_modification=SAM"])
+    assert cfg.hyp.optim.name == "Adam"
+    assert cfg.hyp.optim.betas == [0.9, 0.999]
+    assert cfg.hyp.optim_modification.rho == 0.05
+
+
+def test_key_overrides(config_dir):
+    cfg = load_config(
+        config_dir,
+        overrides=[
+            "hyp.optim.lr=0.4",
+            "hyp.grad_reg.block_strength=0.5",
+            "hyp.grad_clip=0.25",
+            "data.batch_size=32",
+            "hyp.grad_clip_norm=inf",
+            "seed=17",
+            "dryrun=True",
+        ],
+    )
+    assert cfg.hyp.optim.lr == 0.4
+    assert cfg.hyp.grad_reg.block_strength == 0.5
+    assert cfg.hyp.grad_clip == 0.25
+    assert cfg.data.batch_size == 32
+    assert cfg.hyp.grad_clip_norm == "inf"
+    assert cfg.seed == 17
+    assert cfg.dryrun is True
+
+
+def test_scientific_notation_parses_as_float(config_dir):
+    cfg = load_config(config_dir, overrides=["hyp.grad_reg.eps=1e-3"])
+    assert isinstance(cfg.hyp.grad_reg.eps, float)
+    assert cfg.hyp.grad_reg.eps == 1e-3
+
+
+def test_add_and_delete(config_dir):
+    cfg = load_config(config_dir, overrides=["+hyp.custom_flag=7", "~hyp.warmup"])
+    assert cfg.hyp.custom_flag == 7
+    assert "warmup" not in cfg.hyp
+
+
+def test_unknown_key_override_raises(config_dir):
+    import pytest
+
+    with pytest.raises(KeyError):
+        load_config(config_dir, overrides=["hyp.not_a_real_key=1"])
+
+
+def test_interpolation(config_dir):
+    cfg = load_config(config_dir, overrides=["data.db=baked", "analysis=final"])
+    assert cfg.data.db.pixels == cfg.data.pixels == 32
+    assert cfg.data.db.mean == cfg.data.mean
+    assert cfg.analysis.check_every_nth_step == cfg.hyp.steps
+
+
+def test_lmdb_alias(config_dir):
+    # The reference command line `data.db=LMDB` keeps working.
+    cfg = load_config(config_dir, overrides=["data.db=LMDB", "data.db.rounds=10"])
+    assert cfg.data.db.rounds == 10
+    assert cfg.data.db.first_round_clean is False
+
+
+def test_to_yaml_roundtrip(config_dir):
+    cfg = load_config(config_dir)
+    text = to_yaml(cfg)
+    assert "CIFAR10" in text and "Gradient Descent" in text
