@@ -1,0 +1,133 @@
+"""Device-side, jit-compiled batched augmentations.
+
+TPU-native replacement for the reference's PIL/torchvision transform stack
+and its 8-per-GPU DataLoader worker processes
+(/root/reference/fullbatch/data/data_preparation.py:157-200): augmentations
+are pure functions over uint8 NHWC batches keyed by a PRNG key, compiled into
+the same XLA program as the training step. Data stays uint8 in HBM;
+normalization to compute dtype happens on-device after augmentation.
+
+Supported config surface (mirroring the yaml keys the reference parses):
+RandomCrop [size, padding], RandomHorizontalFlip p, CenterCrop size,
+Resize size, RandomResizedCrop size.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def normalize(images, mean, std, dtype=jnp.float32):
+    """uint8 [0,255] -> normalized float, matching ToTensor + Normalize."""
+    x = images.astype(dtype) / 255.0
+    mean = jnp.asarray(mean, dtype)
+    std = jnp.asarray(std, dtype)
+    return (x - mean) / std
+
+
+def random_crop(images, key, size: int, padding: int):
+    """Zero-pad by ``padding`` then crop a random size x size window per image."""
+    b, h, w, c = images.shape
+    padded = jnp.pad(images, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    ky, kx = jax.random.split(key)
+    oy = jax.random.randint(ky, (b,), 0, h + 2 * padding - size + 1)
+    ox = jax.random.randint(kx, (b,), 0, w + 2 * padding - size + 1)
+
+    def crop_one(img, y, x):
+        return jax.lax.dynamic_slice(img, (y, x, 0), (size, size, c))
+
+    return jax.vmap(crop_one)(padded, oy, ox)
+
+
+def random_horizontal_flip(images, key, p: float = 0.5):
+    flip = jax.random.bernoulli(key, p, (images.shape[0], 1, 1, 1))
+    return jnp.where(flip, images[:, :, ::-1, :], images)
+
+
+def center_crop(images, size: int):
+    h, w = images.shape[1:3]
+    top, left = (h - size) // 2, (w - size) // 2
+    return images[:, top:top + size, left:left + size, :]
+
+
+def resize(images, size: int):
+    b, _, _, c = images.shape
+    return jax.image.resize(images.astype(jnp.float32), (b, size, size, c), "bilinear")
+
+
+def random_resized_crop(images, key, size: int, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+    """Crop a random area/aspect box and resize to size x size.
+
+    Fixed-shape implementation via scale_and_translate (no dynamic shapes
+    under jit). Uses direct area/log-ratio sampling rather than torchvision's
+    10-attempt rejection loop — same distribution family, compiler-friendly.
+    """
+    b, h, w, c = images.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    area = jax.random.uniform(k1, (b,), minval=scale[0], maxval=scale[1]) * (h * w)
+    log_ratio = jax.random.uniform(k2, (b,), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1]))
+    aspect = jnp.exp(log_ratio)
+    cw = jnp.clip(jnp.sqrt(area * aspect), 1.0, w)
+    ch = jnp.clip(jnp.sqrt(area / aspect), 1.0, h)
+    oy = jax.random.uniform(k3, (b,)) * (h - ch)
+    ox = jax.random.uniform(k4, (b,)) * (w - cw)
+
+    def one(img, ch_, cw_, oy_, ox_):
+        # output[i] = input[i / s + t] ; choose s,t so the box maps to [0, size)
+        sy, sx = size / ch_, size / cw_
+        return jax.image.scale_and_translate(
+            img.astype(jnp.float32), (size, size, c), (0, 1),
+            jnp.array([sy, sx]), jnp.array([-oy_ * sy, -ox_ * sx]), "linear")
+
+    return jax.vmap(one)(images, ch, cw, oy, ox)
+
+
+def make_augment_fn(aug_cfg) -> Callable:
+    """Compose augmentations from a config dict -> fn(images_u8, key)."""
+    ops = []
+    if aug_cfg:
+        for name, arg in aug_cfg.items():
+            if name == "RandomCrop":
+                size, pad = (arg if isinstance(arg, (list, tuple)) else (arg, 0))
+                ops.append(lambda x, k, s=int(size), p=int(pad): random_crop(x, k, s, p))
+            elif name == "RandomHorizontalFlip":
+                ops.append(lambda x, k, p=float(arg): random_horizontal_flip(x, k, p))
+            elif name == "RandomResizedCrop":
+                ops.append(lambda x, k, s=int(arg): random_resized_crop(x, k, s))
+            elif name == "CenterCrop":
+                ops.append(lambda x, k, s=int(arg): center_crop(x, s))
+            elif name == "Resize":
+                ops.append(lambda x, k, s=int(arg): resize(x, s))
+            else:
+                raise ValueError(f"Unsupported augmentation {name} "
+                                 "(policy augmentations land with the baked-data path).")
+
+    def augment(images, key):
+        for i, op in enumerate(ops):
+            images = op(images, jax.random.fold_in(key, i))
+        return images
+
+    return augment
+
+
+def make_eval_transform(aug_cfg) -> Callable:
+    """Deterministic validation transform (CenterCrop/Resize only)."""
+    ops = []
+    if aug_cfg:
+        for name, arg in aug_cfg.items():
+            if name == "CenterCrop":
+                ops.append(lambda x, s=int(arg): center_crop(x, s))
+            elif name == "Resize":
+                ops.append(lambda x, s=int(arg): resize(x, s))
+            else:
+                raise ValueError(f"Unsupported eval augmentation {name}.")
+
+    def transform(images):
+        for op in ops:
+            images = op(images)
+        return images
+
+    return transform

@@ -1,0 +1,112 @@
+"""Pre-baked fixed-augmentation dataset store (the N x CIFAR path).
+
+TPU-native replacement for the reference's LMDB database of replayed
+augmented epochs (/root/reference/fullbatch/data/lmdb_datasets.py): instead
+of an LMDB file of per-sample byte rows written through the C lmdb library,
+we bake ``rounds`` augmented epochs with the jitted augmentation pipeline and
+store them as a single memory-mapped uint8 .npy tensor of shape
+(rounds, size, H, W, C) plus a labels array and a json metadata sidecar.
+Memory-mapping gives the same lazy, multi-process-safe reads the reference
+got from LMDB, with zero-copy numpy slicing per round.
+
+Semantics mirrored from the reference:
+* ``rounds`` replayed augmented epochs (lmdb_datasets.py:238, :256-290),
+* ``first_round_clean`` -> round 0 without augmentations, a strict dataset
+  extension (lmdb_datasets.py:217-221),
+* ``shuffle_while_writing`` -> per-round sample order shuffled at bake time,
+* ``rebuild_existing_database`` / ``temporary_database``.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from .augmentations import make_augment_fn
+from .datasets import ArrayDataset
+
+log = logging.getLogger(__name__)
+
+_BAKE_BATCH = 1024
+
+
+def _db_dir(cfg_db, data_name: str, size: int) -> Path:
+    base = Path(os.path.expanduser(str(cfg_db.path)))
+    return base / f"{data_name}_{size}_rounds{cfg_db.rounds}"
+
+
+def bake_dataset(train: ArrayDataset, cfg_data, cfg_db, seed: int = 0) -> Path:
+    """Write the replicated-augmentation database; returns its directory."""
+    rounds = int(cfg_db.rounds)
+    out_dir = _db_dir(cfg_db, cfg_data.name, len(train))
+    meta_file = out_dir / "meta.json"
+    if meta_file.exists() and not cfg_db.rebuild_existing_database:
+        return out_dir
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    aug_cfg = cfg_db.get("augmentations_train") or cfg_data.augmentations_train
+    augment = jax.jit(make_augment_fn(aug_cfg))
+    n, h, w, c = train.images.shape
+    images = np.lib.format.open_memmap(
+        out_dir / "images.npy", mode="w+", dtype=np.uint8, shape=(rounds, n, h, w, c))
+    labels = np.empty((rounds, n), np.int32)
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.key(seed)
+    for r in range(rounds):
+        order = rng.permutation(n) if cfg_db.shuffle_while_writing else np.arange(n)
+        clean = r == 0 and bool(cfg_db.first_round_clean)
+        for start in range(0, n, _BAKE_BATCH):
+            idx = order[start:start + _BAKE_BATCH]
+            batch = train.images[idx]
+            if not clean:
+                batch_key = jax.random.fold_in(key, r * 100_000 + start)
+                out = np.asarray(augment(batch, batch_key))
+                batch = np.clip(out, 0, 255).astype(np.uint8) if out.dtype != np.uint8 else out
+            images[r, start:start + len(idx)] = batch
+            labels[r, start:start + len(idx)] = train.labels[idx]
+        log.info("Baked augmentation round %d/%d", r + 1, rounds)
+
+    images.flush()
+    np.save(out_dir / "labels.npy", labels)
+    meta = {
+        "name": cfg_data.name, "rounds": rounds, "size": n,
+        "shape": [h, w, c], "classes": int(train.classes),
+        "first_round_clean": bool(cfg_db.first_round_clean),
+        "shuffle_while_writing": bool(cfg_db.shuffle_while_writing),
+    }
+    meta_file.write_text(json.dumps(meta))
+    return out_dir
+
+
+class BakedDataset:
+    """Memory-mapped view over the baked rounds."""
+
+    def __init__(self, db_dir: Path):
+        self.dir = Path(db_dir)
+        self.meta = json.loads((self.dir / "meta.json").read_text())
+        self.images = np.load(self.dir / "images.npy", mmap_mode="r")
+        self.labels = np.load(self.dir / "labels.npy")
+        self.rounds = self.meta["rounds"]
+        self.classes = self.meta["classes"]
+
+    def round(self, r: int) -> ArrayDataset:
+        """Dataset view for bake round ``r % rounds`` — the reference's
+        construct_subset_dataloader semantics (data_preparation.py:89-112)."""
+        r = int(r) % self.rounds
+        return ArrayDataset(np.asarray(self.images[r]), self.labels[r], self.classes)
+
+    def flat(self) -> ArrayDataset:
+        """All rounds concatenated: the N x dataset for full-batch training."""
+        n = self.meta["size"]
+        imgs = np.asarray(self.images).reshape(self.rounds * n, *self.meta["shape"])
+        return ArrayDataset(imgs, self.labels.reshape(-1), self.classes)
+
+    def cleanup(self):
+        shutil.rmtree(self.dir, ignore_errors=True)

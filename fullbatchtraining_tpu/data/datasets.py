@@ -1,0 +1,149 @@
+"""Raw dataset loading to host numpy arrays (uint8 NHWC + int labels).
+
+TPU-native replacement for the reference's torchvision dataset constructors
+(/root/reference/fullbatch/data/data_preparation.py:115-147): datasets are
+materialized once as host arrays (the reference's CachedDataset
+cached_dataset.py:24-31 is subsumed — HBM/host-resident arrays ARE the cache)
+and then device_put/sharded by the pipeline layer.
+
+Loaders understand the standard on-disk formats (CIFAR python pickles,
+TinyImageNet folder tree). With zero network egress, a deterministic
+synthetic dataset stands in when raw files are absent and
+``data.synthetic_fallback`` is set: class-dependent gaussian blobs so that
+training can actually reduce loss and reach high accuracy, keeping the full
+stack exercisable end-to-end.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+import tarfile
+from pathlib import Path
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+class ArrayDataset:
+    """images uint8 NHWC, labels int32; the universal host representation."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray, classes: int):
+        assert images.ndim == 4 and images.dtype == np.uint8
+        self.images = images
+        self.labels = labels.astype(np.int32)
+        self.classes = classes
+
+    def __len__(self):
+        return len(self.images)
+
+    def subset(self, indices) -> "ArrayDataset":
+        return ArrayDataset(self.images[indices], self.labels[indices], self.classes)
+
+
+def _load_cifar_pickles(base: Path, name: str) -> tuple | None:
+    """CIFAR-10/100 from the standard python-version pickle batches."""
+    if name == "CIFAR10":
+        folder = base / "cifar-10-batches-py"
+        train_files = [folder / f"data_batch_{i}" for i in range(1, 6)]
+        test_files = [folder / "test_batch"]
+        label_key = b"labels"
+    else:
+        folder = base / "cifar-100-python"
+        train_files = [folder / "train"]
+        test_files = [folder / "test"]
+        label_key = b"fine_labels"
+    if not all(f.exists() for f in train_files + test_files):
+        return None
+
+    def read(files):
+        imgs, labels = [], []
+        for f in files:
+            with open(f, "rb") as handle:
+                entry = pickle.load(handle, encoding="bytes")
+            imgs.append(entry[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
+            labels.extend(entry[label_key])
+        return np.concatenate(imgs).astype(np.uint8), np.asarray(labels)
+
+    return read(train_files), read(test_files)
+
+
+def _synthetic(name: str, size: int, pixels: int, channels: int, classes: int,
+               seed: int = 0) -> tuple:
+    """Deterministic learnable synthetic data: per-class mean patterns + noise."""
+    rng = np.random.default_rng(seed)
+    patterns = rng.uniform(0, 255, (classes, pixels, pixels, channels))
+
+    def make(n, split_seed):
+        r = np.random.default_rng(split_seed)
+        labels = r.integers(0, classes, n)
+        noise = r.normal(0, 48.0, (n, pixels, pixels, channels))
+        images = np.clip(patterns[labels] + noise, 0, 255).astype(np.uint8)
+        return images, labels
+
+    valid_n = max(classes, min(size // 5, 10_000))
+    return make(size, seed + 1), make(valid_n, seed + 2)
+
+
+def _load_tiny_imagenet(base: Path) -> tuple | None:
+    folder = base / "tiny-imagenet-200"
+    if not folder.exists():
+        return None
+    wnids = sorted((folder / "wnids.txt").read_text().split())
+    wnid_to_label = {w: i for i, w in enumerate(wnids)}
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def read_img(path):
+        img = Image.open(path).convert("RGB")
+        return np.asarray(img, np.uint8)
+
+    train_imgs, train_labels = [], []
+    for wnid in wnids:
+        for img_path in sorted((folder / "train" / wnid / "images").glob("*.JPEG")):
+            train_imgs.append(read_img(img_path))
+            train_labels.append(wnid_to_label[wnid])
+    val_imgs, val_labels = [], []
+    ann = (folder / "val" / "val_annotations.txt").read_text().strip().splitlines()
+    for line in ann:
+        fname, wnid = line.split("\t")[:2]
+        val_imgs.append(read_img(folder / "val" / "images" / fname))
+        val_labels.append(wnid_to_label[wnid])
+    return ((np.stack(train_imgs), np.asarray(train_labels)),
+            (np.stack(val_imgs), np.asarray(val_labels)))
+
+
+def construct_datasets(cfg_data, dryrun: bool = False) -> tuple[ArrayDataset, ArrayDataset]:
+    """Build (train, valid) ArrayDatasets per the data config group."""
+    base = Path(os.path.expanduser(str(cfg_data.path)))
+    name = cfg_data.name
+    loaded = None
+    if name in ("CIFAR10", "CIFAR100"):
+        loaded = _load_cifar_pickles(base, name)
+    elif name == "TinyImageNet":
+        loaded = _load_tiny_imagenet(base)
+    elif name == "ImageNet":
+        loaded = None  # folder-tree loader lands with the ImageNet recipes
+
+    if loaded is None:
+        if not cfg_data.get("synthetic_fallback", False):
+            raise FileNotFoundError(
+                f"Dataset {name} not found under {base} and synthetic_fallback is off.")
+        log.warning("Dataset %s not found under %s - using deterministic synthetic data.",
+                    name, base)
+        size = int(cfg_data.size) if not dryrun else min(int(cfg_data.size), 256)
+        loaded = _synthetic(name, size, cfg_data.pixels, cfg_data.channels, cfg_data.classes)
+
+    (train_x, train_y), (valid_x, valid_y) = loaded
+    train = ArrayDataset(train_x, train_y, cfg_data.classes)
+    valid = ArrayDataset(valid_x, valid_y, cfg_data.classes)
+
+    requested = int(cfg_data.size)
+    if requested < len(train):
+        # reference dryrun/subset semantics (data_preparation.py:32-37)
+        train = train.subset(np.arange(requested))
+    return train, valid

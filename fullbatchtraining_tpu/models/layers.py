@@ -1,0 +1,262 @@
+"""Layer factory: pluggable convolution / normalization / nonlinearity.
+
+TPU-native counterpart of the reference's ``get_layer_functions``
+(/root/reference/fullbatch/models/utils.py:8-42). Returns constructors for
+flax.linen modules. All convolutions are NHWC (TPU-native layout) and use
+kaiming-normal fan-out initialization to match the reference's default
+(resnets.py:112-117).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .modules import GhostBatchNorm, Skipper
+
+# torch's kaiming_normal_(mode='fan_out', nonlinearity='relu')
+kaiming_normal_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+# torch's default Conv2d init: kaiming_uniform(a=sqrt(5)) == uniform(+-1/sqrt(fan_in))
+torch_default_conv = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+class Conv2d(nn.Conv):
+    """nn.Conv with torch-style integer padding and padding modes."""
+
+    pass
+
+
+def _conv(features: int, kernel_size: int = 3, stride: int = 1, padding: int = 0,
+          groups: int = 1, bias: bool = False, dilation: int = 1,
+          padding_mode: str = "zeros", kernel_init=kaiming_normal_out,
+          name: str | None = None) -> nn.Conv:
+    if padding_mode == "zeros":
+        pad = [(padding * dilation, padding * dilation)] * 2 if isinstance(padding, int) else padding
+    else:
+        # circular/reflect/replicate: handled via explicit jnp.pad wrapper below.
+        pad = "VALID"
+    conv = nn.Conv(
+        features=features,
+        kernel_size=(kernel_size, kernel_size),
+        strides=(stride, stride),
+        padding=pad,
+        feature_group_count=groups,
+        use_bias=bias,
+        kernel_dilation=(dilation, dilation),
+        kernel_init=kernel_init,
+        name=name,
+    )
+    if padding_mode == "zeros":
+        return conv
+    return _PaddedConv(conv=conv, padding=padding, mode=padding_mode, name=name)
+
+
+class _PaddedConv(nn.Module):
+    """Explicit-padding conv for circular/reflect/replicate modes (utils.py:13-15)."""
+
+    conv: nn.Conv
+    padding: int
+    mode: str
+
+    _MODES = {"circular": "wrap", "reflect": "reflect", "replicate": "edge"}
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.padding
+        x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode=self._MODES[self.mode])
+        return self.conv(x)
+
+
+class WSConv2d(nn.Module):
+    """Scaled weight-standardized convolution (NFNet; reference nfnets.py:262-291).
+
+    Weights standardized over fan-in with a per-output-channel learnable gain:
+    w' = (w - mean) * rsqrt(max(var * fan_in, eps)) * gain. Xavier-normal init
+    and a bias, as in the reference.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    groups: int = 1
+    bias: bool = True
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kshape = (self.kernel_size, self.kernel_size, in_features // self.groups, self.features)
+        kernel = self.param("kernel", nn.initializers.xavier_normal(), kshape)
+        gain = self.param("gain", nn.initializers.ones, (self.features,))
+        fan_in = kshape[0] * kshape[1] * kshape[2]
+        mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
+        # The reference uses torch.var (unbiased); match it.
+        var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True, ddof=1)
+        scale = jax.lax.rsqrt(jnp.maximum(var * fan_in, 1e-4))
+        weight = (kernel - mean) * scale * gain
+        out = jax.lax.conv_general_dilated(
+            x,
+            weight.astype(x.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+            preferred_element_type=x.dtype,
+        )
+        if self.bias:
+            out = out + self.param("bias", nn.initializers.zeros, (self.features,)).astype(x.dtype)
+        return out
+
+
+class Identity(nn.Module):
+    channels: int = 0
+    scale_init: Any = None  # accepted for norm-factory compatibility, unused
+
+    def __call__(self, x, train: bool = True):
+        return x
+
+
+class BatchNorm2d(nn.Module):
+    """BatchNorm with torch-compatible defaults (momentum 0.1 torch = 0.9 flax)."""
+
+    channels: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    scale_init: Callable = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            scale_init=self.scale_init,
+            name="bn",
+        )(x)
+
+
+class GroupNorm2d(nn.Module):
+    channels: int
+    num_groups: int = 32
+    scale_init: Callable = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5, scale_init=self.scale_init, name="gn")(x)
+
+
+class LayerNorm2d(nn.Module):
+    channels: int
+    scale_init: Callable = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return nn.LayerNorm(scale_init=self.scale_init, name="ln")(x)
+
+
+class InstanceNorm2d(nn.Module):
+    channels: int
+    scale_init: Callable = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        # torch InstanceNorm2d default: no affine; normalize over H, W per sample.
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + 1e-5)
+
+
+def get_layer_functions(convolution_type: str, norm: str, nonlin: str):
+    """Return (conv_ctor, norm_ctor, nonlin_fn) matching reference utils.py:8-42.
+
+    conv_ctor(features, kernel_size=, stride=, padding=, groups=, bias=, dilation=)
+    norm_ctor(channels) -> Module called as m(x, train=)
+    nonlin_fn: elementwise function.
+    """
+    ct = convolution_type.lower()
+    if ct in ("standard", "default", "zeros"):
+        conv_layer = _conv
+    elif ct in ("circular", "reflect", "replicate"):
+        conv_layer = partial(_conv, padding_mode=ct)
+    elif ct == "standardized":
+        def conv_layer(features, kernel_size=3, stride=1, padding=0, groups=1, bias=False,
+                       dilation=1, name=None, **_):
+            return WSConv2d(features=features, kernel_size=kernel_size, stride=stride,
+                            padding=padding, groups=groups, bias=True, dilation=dilation, name=name)
+    else:
+        raise ValueError(f"Invalid convolution type {convolution_type} provided.")
+
+    nl = norm.lower()
+    if nl == "batchnorm2d":
+        norm_layer = BatchNorm2d
+    elif nl in ("sequentialghostnorm", "ghostnorm"):
+        norm_layer = GhostBatchNorm
+    elif nl == "groupnorm":
+        norm_layer = partial(GroupNorm2d, num_groups=32)
+    elif nl == "groupnorm1":
+        norm_layer = partial(GroupNorm2d, num_groups=1)
+    elif nl == "groupnorm8":
+        norm_layer = lambda channels, **kw: GroupNorm2d(channels=channels, num_groups=min(8, channels), **kw)  # noqa: E731
+    elif nl == "groupnorm32":
+        norm_layer = lambda channels, **kw: GroupNorm2d(channels=channels, num_groups=min(32, channels), **kw)  # noqa: E731
+    elif nl == "groupnorm4th":
+        norm_layer = lambda channels, **kw: GroupNorm2d(channels=channels, num_groups=channels // 4, **kw)  # noqa: E731
+    elif nl == "layernorm":
+        norm_layer = LayerNorm2d
+    elif nl == "instancenorm2d":
+        norm_layer = InstanceNorm2d
+    elif nl in ("skipinit", "none", "identity"):
+        norm_layer = Identity
+    else:
+        raise ValueError(f"Invalid norm layer {norm} found.")
+
+    nonlin_fn = get_nonlin(nonlin)
+    return conv_layer, norm_layer, nonlin_fn
+
+
+_NONLINS: dict[str, Callable] = {
+    "relu": jax.nn.relu,
+    "gelu": jax.nn.gelu,
+    "silu": jax.nn.silu,
+    "swish": jax.nn.silu,
+    "elu": jax.nn.elu,
+    "celu": jax.nn.celu,
+    "selu": jax.nn.selu,
+    "leakyrelu": jax.nn.leaky_relu,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "softplus": jax.nn.softplus,
+    "hardswish": jax.nn.hard_swish,
+    "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+    "identity": lambda x: x,
+}
+
+
+def get_nonlin(name: str) -> Callable:
+    try:
+        return _NONLINS[name.lower()]
+    except KeyError as err:
+        raise ValueError(f"Invalid nonlinearity {name}.") from err
+
+
+def max_pool(x, window: int, stride: int, padding: int = 0):
+    return nn.max_pool(x, (window, window), strides=(stride, stride),
+                       padding=[(padding, padding)] * 2)
+
+
+def avg_pool(x, window: int, stride: int, padding: int = 0, count_include_pad: bool = True):
+    if padding and not count_include_pad:
+        raise NotImplementedError
+    return nn.avg_pool(x, (window, window), strides=(stride, stride),
+                       padding=[(padding, padding)] * 2)
+
+
+def global_avg_pool(x):
+    return jnp.mean(x, axis=(1, 2))

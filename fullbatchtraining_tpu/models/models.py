@@ -1,0 +1,124 @@
+"""Model factory: parse config and build the requested flax module.
+
+TPU-native counterpart of /root/reference/fullbatch/models/models.py.
+``construct_model`` returns a flax module; ``initialize_model`` creates the
+variable collections ({'params', 'batch_stats'}) with a PRNG key.
+
+The reference's ``prepare_model`` broadcast initial parameters from rank 0
+and JIT-traced the model (models.py:55-77); under pjit both are implicit —
+replicated sharding IS the broadcast, and every step function is jitted.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .densenets import DenseNet, densenet_depths_to_config
+from .nfnets import NFNet
+from .pyramidnets import PyramidNet
+from .resnets import ResNet, resnet_depths_to_config
+from .vgg import VGG
+
+
+class LinearDebugModel(nn.Module):
+    """Flatten -> first 100 features -> Dense; debugging only (models.py:43-45)."""
+
+    classes: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = x.reshape(x.shape[0], -1)[:, :100]
+        return nn.Dense(self.classes, name="fc")(x)
+
+
+def construct_model(cfg_model, channels: int, classes: int) -> nn.Module:
+    """cfg_model templates live under config/model (mirrors models.py:14-52)."""
+    name = cfg_model.name.lower()
+    if "resnet" in name:
+        block_type, layers = resnet_depths_to_config(cfg_model.depth)
+        return ResNet(
+            block_type=block_type,
+            layers=layers,
+            channels=channels,
+            classes=classes,
+            stem=cfg_model.stem,
+            convolution_type=cfg_model.convolution,
+            nonlin=cfg_model.nonlin_fn,
+            norm=cfg_model.normalization,
+            downsample=cfg_model.downsample,
+            width_per_group=cfg_model.width,
+            zero_init_residual="skip_residual" in str(cfg_model.initialization)
+            or "skip-residual" in str(cfg_model.initialization),
+        )
+    if "densenet" in name:
+        growth_rate, block_config, num_init_features = densenet_depths_to_config(cfg_model.depth)
+        return DenseNet(
+            growth_rate=growth_rate,
+            block_config=block_config,
+            num_init_features=num_init_features,
+            bn_size=cfg_model.bn_size,
+            drop_rate=cfg_model.drop_rate,
+            channels=channels,
+            classes=classes,
+            memory_efficient=cfg_model.memory_efficient,
+            norm=cfg_model.normalization,
+            nonlin=cfg_model.nonlin_fn,
+            stem=cfg_model.stem,
+            convolution_type=cfg_model.convolution,
+        )
+    if "vgg" in name:
+        return VGG(
+            vgg_name=cfg_model.name,
+            channels=channels,
+            classes=classes,
+            norm=cfg_model.get("normalization", "BatchNorm2d"),
+            nonlin=cfg_model.get("nonlin_fn", "ReLU"),
+            head=cfg_model.get("head", "CIFAR"),
+            convolution_type=cfg_model.get("convolution", "Standard"),
+            drop_rate=cfg_model.get("drop_rate", 0.0),
+        )
+    if "linear" in name:
+        return LinearDebugModel(classes=classes)
+    if "nfnet" in name:
+        return NFNet(
+            channels=channels,
+            classes=classes,
+            variant=cfg_model.variant,
+            stochdepth_rate=cfg_model.stochdepth_rate,
+            alpha=cfg_model.alpha,
+            se_ratio=cfg_model.se_ratio,
+            activation=cfg_model.nonlin,
+            stem=cfg_model.stem,
+            use_dropout=cfg_model.use_dropout,
+        )
+    if "pyramidnet" in name:
+        return PyramidNet(
+            depth=cfg_model.depth,
+            alpha=cfg_model.alpha,
+            channels=channels,
+            classes=classes,
+            bottleneck=cfg_model.bottleneck,
+        )
+    raise ValueError(f"Unknown model {cfg_model.name}.")
+
+
+def initialize_model(model: nn.Module, key: jax.Array, pixels: int, channels: int,
+                     batch: int = 2, dtype=jnp.float32) -> dict:
+    """Initialize variables with a dummy NHWC batch."""
+    dummy = jnp.zeros((batch, pixels, pixels, channels), dtype)
+    params_key, stoch_key, drop_key = jax.random.split(key, 3)
+    variables = model.init(
+        {"params": params_key, "stochdepth": stoch_key, "dropout": drop_key},
+        dummy, train=True,
+    )
+    return dict(variables)
+
+
+def model_rngs(key: jax.Array) -> dict:
+    """Per-call RNGs for stochastic layers (stochdepth/dropout)."""
+    k1, k2 = jax.random.split(key)
+    return {"stochdepth": k1, "dropout": k2}

@@ -1,0 +1,145 @@
+"""Custom layers and loss functions.
+
+TPU-native re-implementations of the reference's custom modules
+(/root/reference/fullbatch/models/modules.py:5-133): SkipInit scalar gain,
+ghost batch normalization, and the loss-function family. Losses are pure
+jittable functions over logits/labels instead of stateful nn.Modules.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class Skipper(nn.Module):
+    """SkipInit scalar gain: out = x * alpha * gain, alpha trainable from 0.
+
+    Mirrors reference modules.py:5-16 (semi-drop-in replacement for batchnorm).
+    The ``channels`` argument is accepted for norm-factory compatibility and
+    unused, exactly like the reference.
+    """
+
+    channels: int = 0
+    initial_scale: float = 0.0
+    gain: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        alpha = self.param("alpha", lambda key: jnp.full((), self.initial_scale, jnp.float32))
+        return x * (alpha * self.gain).astype(x.dtype)
+
+
+class GhostBatchNorm(nn.Module):
+    """Ghost batch normalization over virtual sub-batches.
+
+    TPU-native equivalent of the reference's SequentialGhostNorm /
+    ParallelGhostNorm (modules.py:19-83): the batch is reshaped into
+    ``num_chunks = batch // virtual_batch_size`` virtual batches and
+    normalized per-chunk with *shared* scale/bias (SequentialGhostNorm
+    semantics), vectorized instead of looped. Running statistics are the
+    average over chunks (order-independent, unlike the reference's
+    sequential EMA; behavioral not bitwise parity).
+    """
+
+    channels: int
+    virtual_batch_size: int = 64
+    momentum: float = 0.9  # flax convention: running = m*running + (1-m)*new
+    epsilon: float = 1e-5
+    scale_init: Callable = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        scale = self.param("scale", self.scale_init, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        ra_mean = self.variable("batch_stats", "mean", jnp.zeros, (self.channels,))
+        ra_var = self.variable("batch_stats", "var", jnp.ones, (self.channels,))
+
+        batch = x.shape[0]
+        num_chunks = max(batch // self.virtual_batch_size, 1)
+        if train:
+            chunks = x.reshape(num_chunks, batch // num_chunks, *x.shape[1:])
+            # per-chunk statistics over (sub-batch, H, W) for NHWC input
+            axes = tuple(range(1, chunks.ndim - 1))
+            mean = jnp.mean(chunks, axis=axes, keepdims=True)
+            var = jnp.var(chunks, axis=axes, keepdims=True)
+            normed = (chunks - mean) * jax.lax.rsqrt(var + self.epsilon)
+            out = normed.reshape(x.shape) * scale + bias
+            if not self.is_initializing():
+                flat_mean = mean.reshape(num_chunks, self.channels).mean(0)
+                flat_var = var.reshape(num_chunks, self.channels).mean(0)
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * flat_mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * flat_var
+            return out
+        normed = (x - ra_mean.value) * jax.lax.rsqrt(ra_var.value + self.epsilon)
+        return normed * scale + bias
+
+
+# ---------------------------------------------------------------------------
+# Loss functions (reference modules.py:86-133 + training.py:391-413 dispatch).
+# All return (mean_loss, per-example diagnostics-free) and operate on logits.
+# ---------------------------------------------------------------------------
+
+
+def _smoothed_nll(logits: jnp.ndarray, labels: jnp.ndarray, smoothing: float) -> jnp.ndarray:
+    """Per-sample label-smoothed cross-entropy (huanglianghua variant,
+
+    reference modules.py:86-101): off-target weight smoothing/(C-1),
+    target weight 1 - smoothing."""
+    log_prob = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    classes = logits.shape[-1]
+    off = smoothing / (classes - 1.0)
+    weight = jnp.full_like(log_prob, off)
+    weight = weight.at[jnp.arange(labels.shape[0]), labels].set(1.0 - smoothing)
+    return -(weight * log_prob).sum(axis=-1)
+
+
+def label_smooth_cross_entropy(logits, labels, smoothing: float = 0.0):
+    return _smoothed_nll(logits, labels, smoothing).mean()
+
+
+def incorrect_cross_entropy(logits, labels, smoothing: float = 0.0):
+    """Cross-entropy only on incorrectly classified examples (modules.py:104-119).
+
+    Matches the reference's actual computation: per-sample loss is masked (not
+    filtered), and the mean is over the full batch.
+    """
+    correct = (logits.argmax(axis=-1) == labels).astype(jnp.float32)
+    loss = _smoothed_nll(logits, labels, smoothing)
+    return (loss * (1.0 - jax.lax.stop_gradient(correct))).mean()
+
+
+def maxup_loss(logits, labels, ntrials: int = 10):
+    """Maxup: per group of ntrials augmented copies, take the max loss.
+
+    Mirrors modules.py:122-133, with the reference's latent bug fixed:
+    there ``ntrials`` was accepted but hardcoded to 10 (modules.py:127);
+    here the argument is honored.
+    """
+    batch = logits.shape[0] // ntrials
+    loss = _smoothed_nll(logits, labels, 0.0).reshape(batch, ntrials)
+    return loss.max(axis=1).mean()
+
+
+def get_loss_fn(cfg_hyp) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Loss dispatch mirroring reference training.py:391-413."""
+    smoothing = float(cfg_hyp.label_smoothing or 0.0)
+    modification = cfg_hyp.loss_modification
+
+    if modification is None:
+        def loss_fn(logits, labels):
+            return label_smooth_cross_entropy(logits, labels, smoothing)
+    elif modification == "incorrect-xent":
+        def loss_fn(logits, labels):
+            return incorrect_cross_entropy(logits, labels, smoothing)
+    elif str(modification).startswith("maxup"):
+        ntrials = int(str(modification).split("-")[1]) if "-" in str(modification) else 10
+
+        def loss_fn(logits, labels):
+            return maxup_loss(logits, labels, ntrials)
+    else:
+        raise ValueError(f"Invalid loss modification {modification}.")
+    return loss_fn

@@ -1,0 +1,70 @@
+"""Device mesh construction and sharding helpers.
+
+TPU-native replacement for the reference's process-per-GPU NCCL setup
+(/root/reference/fullbatch/utils.py:20-101): instead of
+torch.multiprocessing.spawn + init_process_group, one process owns all local
+devices and parallelism is expressed as a jax.sharding.Mesh. The single
+'data' axis carries the reference's data parallelism (SURVEY.md §2 P1);
+collectives ride ICI within a slice and DCN across slices automatically.
+
+Multi-host: jax.distributed.initialize replaces the TCP-store/SLURM
+rendezvous (utils.py:30-35, :88-95).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+log = logging.getLogger(__name__)
+
+DATA_AXIS = "data"
+
+
+def setup_distributed(cfg_setup) -> None:
+    """Join the multi-host job if configured (impl/setup=distributed)."""
+    if not cfg_setup.dist:
+        return
+    if jax.process_count() > 1:
+        return  # already initialized by the launcher
+    kwargs = {}
+    if cfg_setup.get("url"):
+        kwargs["coordinator_address"] = cfg_setup.url
+    if cfg_setup.get("world_size"):
+        kwargs["num_processes"] = int(cfg_setup.world_size)
+    if cfg_setup.get("rank") is not None:
+        kwargs["process_id"] = int(cfg_setup.rank)
+    if kwargs:
+        jax.distributed.initialize(**kwargs)
+
+
+def make_mesh(cfg_setup=None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over all devices (extensible to more axes)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    axes = tuple(cfg_setup.mesh_axes) if cfg_setup is not None else (DATA_AXIS,)
+    if len(axes) != 1:
+        raise NotImplementedError(
+            "The reference workload is pure data-parallel; multi-axis meshes "
+            "arrive with model sharding.")
+    return Mesh(devices.reshape(-1), axes)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh: Mesh, device_dim: int, ndim: int) -> NamedSharding:
+    """Shard dimension ``device_dim`` of an ndim array over the data axis."""
+    spec = [None] * ndim
+    spec[device_dim] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_epoch_arrays(mesh: Mesh, images: np.ndarray, labels: np.ndarray):
+    """Place (blocks, devices, chunks, sub, ...) arrays with dim 1 sharded."""
+    im = jax.device_put(images, data_sharding(mesh, 1, images.ndim))
+    lb = jax.device_put(labels, data_sharding(mesh, 1, labels.ndim))
+    return im, lb

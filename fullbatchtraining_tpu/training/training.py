@@ -1,0 +1,614 @@
+"""Full-batch / stochastic training core, TPU-native.
+
+Re-architecture of the reference training loop
+(/root/reference/fullbatch/training/training.py:50-341) as ONE jitted XLA
+program per optimizer step (SURVEY.md §7):
+
+    full_gradient(state, epoch) =
+        shard_map over Mesh('data'):
+            lax.scan over blocks x chunks (device-side augmentation per chunk)
+                value_and_grad (+ grad-reg re-grad/HVP fused into the body)
+                streaming mean in accumulation dtype
+                    (counter = n_devices*(block*chunks+idx+1), the reference's
+                     _stable_mean_accumulation, training.py:45-47, :168)
+            -> one psum over 'data'   [replaces _allreduce_coalesced + dist.reduce,
+                                       training/utils.py:31-41]
+    step = gradient modifiers (norm-bias/clip/noise, training.py:187-215)
+         + optimizer update + schedule + EMA, all in the same program.
+
+The stochastic sanity-check mode (training.py:241-286) is a second jitted
+program scanning optimizer updates over the shuffled blocks of one epoch.
+
+Deviations from the reference, documented:
+* BatchNorm running stats are pmean'd across devices every step instead of
+  only at eval (training.py:348-357) - EMAs are linear, so the end state is
+  identical while keeping the train state replicated.
+* The reference's stochastic multi-GPU path all-reduce SUMS raw block
+  gradients (no 1/world_size), silently scaling the lr by world size; we
+  pmean, which is the intended semantics.
+* The extra gradient evaluations of finite-difference grad-reg do not mutate
+  BN running stats (a side effect of torch's train-mode forward passes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from collections import defaultdict
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.augmentations import normalize as normalize_images
+from ..data.pipeline import DataBundle, epoch_layout, layout_epoch
+from ..models.modules import get_loss_fn
+from ..parallel.mesh import DATA_AXIS, shard_epoch_arrays
+from .grad_reg import make_grad_regularizer, tree_add_scaled, tree_scale, tree_sqnorm
+from .optimizers import optim_interface
+from .utils import save_checkpoint, load_checkpoint
+
+log = logging.getLogger(__name__)
+
+_DTYPES = {"float": jnp.float32, "float32": jnp.float32, "float64": jnp.float64,
+           "bfloat16": jnp.bfloat16, "float16": jnp.float16, "double": jnp.float64}
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any = None
+    ema_batch_stats: Any = None
+    extra: Any = None  # closure-optimizer scratch (momentum resets etc.)
+
+
+def tree_clip_by_norm(tree, max_norm, norm_type, eps=1e-6):
+    """Reference _clip_gradient_list semantics (training/utils.py:5-19).
+
+    Returns (clipped_tree, was_clipped, pre_norm)."""
+    if norm_type == float("inf") or norm_type == "inf":
+        norm = jnp.max(jnp.asarray([jnp.max(jnp.abs(g)) for g in jax.tree.leaves(tree)]))
+    elif norm_type == 2:
+        norm = jnp.sqrt(tree_sqnorm(tree))
+    else:
+        p = float(norm_type)
+        norm = sum(jnp.sum(jnp.abs(g) ** p) for g in jax.tree.leaves(tree)) ** (1.0 / p)
+    clipped = norm > max_norm
+    scale = jnp.where(clipped, max_norm / (norm + eps), 1.0)
+    return jax.tree.map(lambda g: g * scale, tree), clipped, norm
+
+
+@dataclasses.dataclass
+class TrainFunctions:
+    """Jit-compiled step programs + host-side helpers."""
+
+    full_step: Callable
+    stochastic_step: Callable
+    eval_step: Callable
+    gradient_eval: Callable       # (state, images, labels, step) -> grads, metrics (closure opt / FP audit)
+    init_state: Callable
+    schedule: Callable
+    layout: tuple                 # (num_blocks, chunks, sub)
+    num_devices: int
+    info: dict
+
+
+def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFunctions:
+    hyp, impl = cfg.hyp, cfg.impl
+    n_dev = mesh.devices.size
+    num_blocks, chunks, sub = epoch_layout(
+        bundle.size, bundle.batch_size, hyp.sub_batch, n_dev, dryrun=cfg.dryrun)
+
+    param_dtype = _DTYPES[impl.dtype]
+    acc_dtype = _DTYPES[impl.accumulation_dtype]
+    compute_dtype = (_DTYPES[impl.compute_dtype] if impl.compute_dtype
+                     else (jnp.bfloat16 if impl.mixed_precision else param_dtype))
+
+    criterion = get_loss_fn(hyp)
+    mean, std = jnp.asarray(bundle.mean), jnp.asarray(bundle.std)
+
+    def prepare_inputs(images, key):
+        if bundle.augmentations_active:
+            images = bundle.augment(images, key)
+        if bundle.normalize:
+            return normalize_images(images, mean, std, compute_dtype)
+        return images.astype(compute_dtype) / 255.0
+
+    def forward(params, batch_stats, x, train):
+        variables = {"params": jax.tree.map(lambda p: p.astype(compute_dtype), params)}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            if train:
+                logits, upd = model.apply(variables, x, train=True, mutable=["batch_stats"])
+                return logits.astype(jnp.float32), upd["batch_stats"]
+            return model.apply(variables, x, train=False).astype(jnp.float32), batch_stats
+        logits = model.apply(variables, x, train=train,
+                             mutable=["batch_stats"] if train else False)
+        if train:
+            logits = logits[0]
+        return logits.astype(jnp.float32), batch_stats
+
+    def chunk_loss(params, batch_stats, images, labels, key):
+        x = prepare_inputs(images, key)
+        logits, new_bn = forward(params, batch_stats, x, train=True)
+        loss = criterion(logits, labels)
+        correct = (logits.argmax(-1) == labels).astype(jnp.float32).sum()
+        return loss, (new_bn, correct)
+
+    grad_chunk = jax.value_and_grad(chunk_loss, has_aux=True)
+
+    def regrad(params, batch_stats, images, labels, key):
+        """Gradient-only re-evaluation for the regularizer (same BN input,
+        no stat threading)."""
+        return jax.grad(lambda p: chunk_loss(p, batch_stats, images, labels, key)[0])(params)
+
+    reg_fn = make_grad_regularizer(hyp.grad_reg, regrad)
+
+    weight_decay = float(getattr(hyp.optim, "weight_decay", 0.0) or 0.0)
+    batch_clip = hyp.batch_clip
+    clip_norm_type = hyp.grad_clip_norm
+
+    # -------------------------------------------------------------------
+    # Local (per-device) full-gradient accumulation, run under shard_map.
+    # -------------------------------------------------------------------
+    def _local_accumulate(params, batch_stats, images, labels, key, lr):
+        """images: (blocks, 1, chunks, sub, H, W, C) local shard."""
+        images = images[:, 0]
+        labels = labels[:, 0]
+        dev = jax.lax.axis_index(DATA_AXIS)
+
+        pre_grads = None
+        if hyp.grad_reg.acc_strength != 0:
+            # Pre-pass over whole blocks (training.py:128-142); local, never reduced.
+            def pre_body(carry, xs):
+                pre, bidx = carry
+                blk_imgs, blk_lbls = xs
+                k = jax.random.fold_in(jax.random.fold_in(key, dev), 7_000_000 + bidx)
+                flat_imgs = blk_imgs.reshape(-1, *blk_imgs.shape[2:])
+                flat_lbls = blk_lbls.reshape(-1)
+                (_, _), grads = grad_chunk(params, batch_stats, flat_imgs, flat_lbls, k)
+                grads = jax.tree.map(lambda g: g.astype(acc_dtype), grads)
+                if batch_clip is not None:
+                    grads, _, _ = tree_clip_by_norm(grads, batch_clip, clip_norm_type)
+                counter = (n_dev * (bidx + 1)).astype(acc_dtype)
+                pre = jax.tree.map(lambda a, g: a + (g - a) / counter, pre, grads)
+                return (pre, bidx + 1), None
+            zeros = jax.tree.map(lambda p: jnp.zeros_like(p, acc_dtype), params)
+            (pre_grads, _), _ = jax.lax.scan(pre_body, (zeros, jnp.zeros((), jnp.int32)),
+                                             (images, labels))
+
+        def chunk_body(carry, xs):
+            avg, bn, sloss, spreds, cidx = carry
+            chunk_imgs, chunk_lbls = xs
+            k = jax.random.fold_in(jax.random.fold_in(key, dev), cidx)
+            (loss, (bn, correct)), grads = grad_chunk(params, bn, chunk_imgs, chunk_lbls, k)
+            sq_norm = tree_sqnorm(grads)
+            if reg_fn is not None:
+                grads = reg_fn(grads, params, bn, chunk_imgs, chunk_lbls, pre_grads, lr, k)
+            grads = jax.tree.map(lambda g: g.astype(acc_dtype), grads)
+            was_clipped = jnp.zeros((), jnp.float32)
+            if batch_clip is not None:
+                grads, clipped, _ = tree_clip_by_norm(grads, batch_clip, clip_norm_type)
+                was_clipped = clipped.astype(jnp.float32)
+            counter = (n_dev * (cidx + 1)).astype(acc_dtype)
+            avg = jax.tree.map(lambda a, g: a + (g - a) / counter, avg, grads)
+            sloss = sloss + loss / chunks
+            spreds = spreds + correct
+            return (avg, bn, sloss, spreds, cidx + 1), (sq_norm, was_clipped)
+
+        flat_imgs = images.reshape(num_blocks * chunks, sub, *images.shape[3:])
+        flat_lbls = labels.reshape(num_blocks * chunks, sub)
+        zeros = jax.tree.map(lambda p: jnp.zeros_like(p, acc_dtype), params)
+        init = (zeros, batch_stats, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+                jnp.zeros((), jnp.int32))
+        (avg, bn, step_loss, step_preds, _), (grad_norms, clipped_flags) = jax.lax.scan(
+            chunk_body, init, (flat_imgs, flat_lbls))
+
+        # ---- stats, mirroring _record_stats (training.py:86-119) ----
+        param_norm = tree_sqnorm(params)
+        full_grad_norm = grad_norms.mean()  # mean of squared chunk norms
+        full_loss = step_loss / num_blocks + 0.5 * weight_decay * param_norm
+        if hyp.grad_reg.block_strength != 0:
+            full_loss += lr / 4 * hyp.grad_reg.block_strength * full_grad_norm
+        if hyp.grad_reg.acc_strength != 0:
+            full_loss += lr / 4 * hyp.grad_reg.acc_strength * tree_sqnorm(pre_grads)
+
+        # The single collective of the step (training/utils.py:31-41):
+        avg = jax.lax.psum(avg, DATA_AXIS)
+        package = jax.lax.psum(
+            jnp.stack([step_loss, step_preds, full_loss, full_grad_norm]), DATA_AXIS)
+        bn = jax.lax.pmean(bn, DATA_AXIS) if bn else bn
+        clipped_batches = jax.lax.psum(clipped_flags.sum(), DATA_AXIS)
+
+        step_loss, step_preds, full_loss, full_grad_norm = package
+        metrics = {
+            "train_loss": step_loss / num_blocks / n_dev,
+            "train_acc": step_preds / (num_blocks * chunks * sub * n_dev),
+            "param_norm": param_norm,
+            "grad_norm": jnp.sqrt(full_grad_norm) / n_dev,
+            "full_loss": full_loss / n_dev,
+            "clipped_batches": clipped_batches,
+        }
+        return avg, bn, metrics, grad_norms[None]  # leading axis -> per-device stack
+
+    data_spec = P(None, DATA_AXIS)
+    sharded_accumulate = jax.shard_map(
+        _local_accumulate, mesh=mesh,
+        in_specs=(P(), P(), data_spec, data_spec, P(), P()),
+        out_specs=(P(), P(), P(), P(DATA_AXIS)),
+        check_vma=False)
+
+    # -------------------------------------------------------------------
+    # Gradient modifiers on the full averaged gradient (training.py:187-215)
+    # -------------------------------------------------------------------
+    def modify_gradient(grads, params, key, metrics):
+        if hyp.norm_bias.strength > 0.0:
+            pn = tree_sqnorm(params)
+            if hyp.norm_bias.norm_type == 1:
+                sign = jnp.sign(pn - hyp.norm_bias.bias ** 2)
+                grads = jax.tree.map(lambda g: g + hyp.norm_bias.strength * sign, grads)
+            else:
+                factor = 2 * (pn - hyp.norm_bias.bias ** 2)
+                grads = jax.tree.map(lambda g, p: g + hyp.norm_bias.strength * factor * p,
+                                     grads, params)
+        if hyp.grad_clip is not None:
+            grads, clipped, pre_norm = tree_clip_by_norm(grads, hyp.grad_clip, clip_norm_type)
+            metrics["preclip_gradnorm"] = pre_norm
+            metrics["clipped_step"] = clipped.astype(jnp.float32)
+        if hyp.grad_noise.additive is not None:
+            keys = iter(jax.random.split(jax.random.fold_in(key, 1), len(jax.tree.leaves(grads))))
+            grads = jax.tree.map(
+                lambda g: g + hyp.grad_noise.additive * jax.random.normal(next(keys), g.shape, g.dtype),
+                grads)
+        if hyp.grad_noise.multiplicative is not None:
+            keys = iter(jax.random.split(jax.random.fold_in(key, 2), len(jax.tree.leaves(grads))))
+            grads = jax.tree.map(
+                lambda g: g * (1 + hyp.grad_noise.multiplicative
+                               * jax.random.normal(next(keys), g.shape, g.dtype)),
+                grads)
+        return grads, metrics
+
+    # -------------------------------------------------------------------
+    # Optimizer + EMA + step assembly
+    # -------------------------------------------------------------------
+    opt_init, opt_update, schedule, info = optim_interface(None, hyp)
+
+    def ema_update(state, params, batch_stats):
+        if not hyp.evaluate_ema:
+            return state.ema_params, state.ema_batch_stats
+        m = hyp.eval_ema_momentum
+        ema_p = jax.tree.map(lambda e, p: m * e + (1 - m) * p, state.ema_params, params)
+        ema_b = jax.tree.map(lambda e, b: m * e + (1 - m) * b,
+                             state.ema_batch_stats, batch_stats)
+        return ema_p, ema_b
+
+    def _seed_key(step):
+        return jax.random.fold_in(jax.random.key(cfg.seed if cfg.seed is not None else 0),
+                                  step)
+
+    def full_step(state: TrainState, images, labels):
+        lr = schedule(state.step)
+        key = _seed_key(state.step)
+        avg_grads, bn, metrics, grad_norms = sharded_accumulate(
+            state.params, state.batch_stats, images, labels, key, lr)
+        grads, metrics = modify_gradient(avg_grads, state.params, key, metrics)
+        params, opt_state = opt_update(grads, state.opt_state, state.params, lr)
+        ema_p, ema_b = ema_update(state, params, bn)
+        metrics["lr"] = lr
+        metrics["grad_norms_per_chunk"] = jnp.sqrt(grad_norms)
+        new_state = state.replace(step=state.step + 1, params=params, batch_stats=bn,
+                                  opt_state=opt_state, ema_params=ema_p,
+                                  ema_batch_stats=ema_b)
+        return new_state, metrics
+
+    # -------------------------------------------------------------------
+    # Stochastic sanity-check mode (training.py:241-286): one jitted epoch.
+    # -------------------------------------------------------------------
+    def _local_stochastic(params, batch_stats, opt_state, images, labels, key, lr):
+        images = images[:, 0]
+        labels = labels[:, 0]
+        dev = jax.lax.axis_index(DATA_AXIS)
+
+        def block_body(carry, xs):
+            params, bn, opt_state, sloss, spreds = carry
+            blk_imgs, blk_lbls, bidx = xs
+            k = jax.random.fold_in(jax.random.fold_in(key, dev), bidx)
+            flat_imgs = blk_imgs.reshape(-1, *blk_imgs.shape[2:])
+            flat_lbls = blk_lbls.reshape(-1)
+            (loss, (bn, correct)), grads = grad_chunk(params, bn, flat_imgs, flat_lbls, k)
+            sq_norm = tree_sqnorm(grads)
+            if reg_fn is not None:
+                grads = reg_fn(grads, params, bn, flat_imgs, flat_lbls, None, lr, k)
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            if hyp.grad_clip is not None:
+                grads, _, _ = tree_clip_by_norm(grads, hyp.grad_clip, 2.0)
+            params, opt_state = opt_update(grads, opt_state, params, lr)
+            return (params, bn, opt_state, sloss + loss, spreds + correct), sq_norm
+
+        init = (params, batch_stats, opt_state, jnp.zeros((), jnp.float32),
+                jnp.zeros((), jnp.float32))
+        idx = jnp.arange(num_blocks)
+        (params, bn, opt_state, step_loss, step_preds), grad_norms = jax.lax.scan(
+            block_body, init, (images, labels, idx))
+
+        package = jax.lax.psum(jnp.stack([step_loss, step_preds]), DATA_AXIS)
+        bn = jax.lax.pmean(bn, DATA_AXIS) if bn else bn
+        metrics = {
+            "train_loss": package[0] / num_blocks / n_dev,
+            "train_acc": package[1] / (num_blocks * chunks * sub * n_dev),
+            "param_norm": tree_sqnorm(params),
+            "grad_norm": jnp.sqrt(jax.lax.psum(grad_norms.mean(), DATA_AXIS)) / n_dev,
+            "full_loss": package[0] / num_blocks / n_dev,
+            "clipped_batches": jnp.zeros(()),
+        }
+        return params, bn, opt_state, metrics, grad_norms[None]
+
+    sharded_stochastic = jax.shard_map(
+        _local_stochastic, mesh=mesh,
+        in_specs=(P(), P(), P(), data_spec, data_spec, P(), P()),
+        out_specs=(P(), P(), P(), P(), P(DATA_AXIS)),
+        check_vma=False)
+
+    def stochastic_step(state: TrainState, images, labels):
+        lr = schedule(state.step)
+        key = _seed_key(state.step)
+        params, bn, opt_state, metrics, grad_norms = sharded_stochastic(
+            state.params, state.batch_stats, state.opt_state, images, labels, key, lr)
+        ema_p, ema_b = ema_update(state, params, bn)
+        metrics["lr"] = lr
+        metrics["grad_norms_per_chunk"] = jnp.sqrt(grad_norms)
+        new_state = state.replace(step=state.step + 1, params=params, batch_stats=bn,
+                                  opt_state=opt_state, ema_params=ema_p,
+                                  ema_batch_stats=ema_b)
+        return new_state, metrics
+
+    # -------------------------------------------------------------------
+    # Evaluation (training.py:343-388)
+    # -------------------------------------------------------------------
+    def _local_eval(params, batch_stats, images, labels, weights):
+        images = images[:, 0]
+        labels = labels[:, 0]
+        weights = weights[:, 0]
+
+        def block_body(_, xs):
+            imgs, lbls, w = xs
+            x = bundle.eval_transform(imgs)
+            if bundle.normalize:
+                x = normalize_images(x, mean, std, compute_dtype)
+            else:
+                x = x.astype(compute_dtype) / 255.0
+            logits, _ = forward(params, batch_stats, x, train=False)
+            if hyp.test_time_flips:
+                logits_flip, _ = forward(params, batch_stats, x[:, :, ::-1, :], train=False)
+                outputs = jax.nn.softmax(logits) + jax.nn.softmax(logits_flip)
+            else:
+                outputs = logits
+            losses = -jax.nn.log_softmax(outputs)[jnp.arange(lbls.shape[0]), lbls]
+            loss = (losses * w).sum()
+            correct = (((outputs.argmax(-1) == lbls)).astype(jnp.float32) * w).sum()
+            return None, (loss, correct, w.sum())
+
+        _, (losses, corrects, counts) = jax.lax.scan(block_body, None,
+                                                     (images, labels, weights))
+        return jax.lax.psum(jnp.stack([losses.sum(), corrects.sum(), counts.sum()]),
+                            DATA_AXIS)
+
+    sharded_eval = jax.shard_map(
+        _local_eval, mesh=mesh,
+        in_specs=(P(), P(), data_spec, data_spec, data_spec), out_specs=P(),
+        check_vma=False)
+
+    def eval_step(params, batch_stats, images, labels, weights):
+        package = sharded_eval(params, batch_stats, images, labels, weights)
+        return {"valid_loss": package[0] / package[2], "valid_acc": package[1] / package[2]}
+
+    # -------------------------------------------------------------------
+    # Gradient-only evaluation (closure optimizers, FP audit, analysis)
+    # -------------------------------------------------------------------
+    def gradient_eval(state: TrainState, images, labels, with_modifiers: bool = True):
+        lr = schedule(state.step)
+        key = _seed_key(state.step)
+        avg_grads, bn, metrics, _ = sharded_accumulate(
+            state.params, state.batch_stats, images, labels, key, lr)
+        if with_modifiers:
+            avg_grads, metrics = modify_gradient(avg_grads, state.params, key, metrics)
+        return avg_grads, bn, metrics
+
+    # -------------------------------------------------------------------
+    def init_state(variables) -> TrainState:
+        params = jax.tree.map(lambda p: p.astype(param_dtype), variables["params"])
+        batch_stats = variables.get("batch_stats", {})
+        ema_p = jax.tree.map(jnp.copy, params) if hyp.evaluate_ema else None
+        ema_b = jax.tree.map(jnp.copy, batch_stats) if hyp.evaluate_ema else None
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          batch_stats=batch_stats, opt_state=opt_init(params),
+                          ema_params=ema_p, ema_batch_stats=ema_b)
+
+    donate = (0,) if impl.donate_state else ()
+    jit = (lambda f, **kw: jax.jit(f, **kw)) if impl.jit else (lambda f, **kw: f)
+    return TrainFunctions(
+        full_step=jit(full_step, donate_argnums=donate),
+        stochastic_step=jit(stochastic_step, donate_argnums=donate),
+        eval_step=jit(eval_step),
+        gradient_eval=jit(gradient_eval, static_argnames=("with_modifiers",)),
+        init_state=init_state,
+        schedule=schedule,
+        layout=(num_blocks, chunks, sub),
+        num_devices=n_dev,
+        info=info,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side epoch staging
+# ---------------------------------------------------------------------------
+
+
+def stage_epoch(bundle: DataBundle, fns: TrainFunctions, mesh: Mesh, cfg, step: int,
+                cache: dict):
+    """Return sharded (images, labels) for this optimizer step.
+
+    Static order (shuffle=False, no rounds) is device-put once and reused.
+    shuffle=True permutes on host per step; semi-stochastic picks bake round
+    step % rounds (reference construct_subset_dataloader semantics)."""
+    hyp = cfg.hyp
+    num_blocks, chunks, sub = fns.layout
+    semi = hyp.train_semi_stochastic and bundle.baked is not None
+    shuffled = bool(hyp.shuffle)
+
+    if not semi and not shuffled and "static" in cache:
+        return cache["static"]
+
+    if semi:
+        ds = bundle.baked.round(step)
+        images, labels = ds.images, ds.labels
+    else:
+        images, labels = bundle.train.images, bundle.train.labels
+
+    if shuffled:
+        seed = (cfg.seed if cfg.seed is not None else 0) * 1_000_003 + step
+        order = np.random.default_rng(seed).permutation(len(images))
+        images, labels = images[order], labels[order]
+
+    li, ll = layout_epoch(images, labels, num_blocks, chunks, sub, fns.num_devices)
+    staged = shard_epoch_arrays(mesh, li, ll)
+    if not semi and not shuffled:
+        cache["static"] = staged
+    return staged
+
+
+def stage_validation(bundle: DataBundle, mesh: Mesh, n_dev: int, batch: int,
+                     dryrun: bool = False):
+    """Pad validation data to a devices x blocks grid with per-sample weights."""
+    images, labels = bundle.valid.images, bundle.valid.labels
+    n = len(images)
+    per_dev = -(-n // n_dev)
+    blocks = -(-per_dev // batch)
+    if dryrun:
+        blocks = 1
+    total = n_dev * blocks * batch
+    pad = total - min(n, total)
+    weights = np.ones(min(n, total), np.float32)
+    if pad:
+        images = np.concatenate([images[:total - pad], np.zeros((pad, *images.shape[1:]), images.dtype)])
+        labels = np.concatenate([labels[:total - pad], np.zeros(pad, labels.dtype)])
+        weights = np.concatenate([weights, np.zeros(pad, np.float32)])
+    else:
+        images, labels = images[:total], labels[:total]
+        weights = weights[:total]
+    li = images.reshape(blocks, n_dev, batch, *images.shape[1:])
+    ll = labels.reshape(blocks, n_dev, batch)
+    lw = weights.reshape(blocks, n_dev, batch)
+    im, lb = shard_epoch_arrays(mesh, li, ll)
+    from ..parallel.mesh import data_sharding
+    w = jax.device_put(lw, data_sharding(mesh, 1, lw.ndim))
+    return im, lb, w
+
+
+# ---------------------------------------------------------------------------
+# Main loop (training.py:219-341)
+# ---------------------------------------------------------------------------
+
+
+def status_message(stats, step):
+    def last(key):
+        return stats[key][-1] if stats.get(key) else float("nan")
+
+    return (f"Step: {step:<4}| lr: {last('lr'):.4f} | Time: {last('train_time'):4.2f}s |"
+            f"TRAIN loss {last('train_loss'):7.4f} | TRAIN Acc: {last('train_acc'):7.2%} |"
+            f"VAL loss {last('valid_loss'):7.4f} | VAL Acc: {last('valid_acc'):7.2%} |")
+
+
+def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
+    """Train per implementation details (impl) and hyperparameters (hyp)."""
+    fns = make_train_functions(model, bundle, mesh, cfg)
+    from ..models.models import initialize_model
+
+    key = jax.random.key(cfg.seed if cfg.seed is not None else 0)
+    variables = initialize_model(model, key, bundle.pixels, bundle.channels)
+    state = fns.init_state(variables)
+
+    if fns.info["closure"] is not None:
+        from .opt.closures import train_closure
+        return train_closure(model, bundle, mesh, cfg, fns, state)
+    if fns.info["modification"] == "SAM":
+        from .opt.sam import train_sam
+        return train_sam(model, bundle, mesh, cfg, fns, state)
+
+    stats = stats if stats is not None else defaultdict(list)
+    start_step = 0
+    if cfg.impl.checkpoint.name is not None:
+        state, start_step = load_checkpoint(state, cfg, max_steps=cfg.hyp.steps)
+    state = state.replace(step=jnp.asarray(start_step, jnp.int32))
+
+    cache: dict = {}
+    val_data = stage_validation(bundle, mesh, fns.num_devices, bundle.batch_size,
+                                dryrun=cfg.dryrun)
+    step = start_step
+    train_stochastic = cfg.hyp.train_stochastic
+    while step < cfg.hyp.steps:
+        t0 = time.time()
+        stochastic_now = train_stochastic
+        if (cfg.hyp.train_switch_stochastic is not None
+                and cfg.hyp.train_switch_stochastic >= step):
+            stochastic_now = not cfg.hyp.train_stochastic
+
+        images, labels = stage_epoch(bundle, fns, mesh, cfg, step, cache)
+        step_fn = fns.stochastic_step if stochastic_now else fns.full_step
+        state, metrics = step_fn(state, images, labels)
+        metrics = jax.device_get(metrics)
+        step += 1
+
+        for k, v in metrics.items():
+            if k == "grad_norms_per_chunk":
+                for idx, entry in enumerate(np.asarray(v).reshape(-1).tolist()):
+                    stats[f"grad_norm_train_{idx}"] += [entry]
+            else:
+                stats[k] += [float(v)]
+        stats["train_time"] += [time.time() - t0]
+
+        eval_params = state.ema_params if cfg.hyp.evaluate_ema else state.params
+        eval_bn = state.ema_batch_stats if cfg.hyp.evaluate_ema else state.batch_stats
+        if ((step - 1) % cfg.impl.validate_every_nth_step == 0
+                or step >= cfg.hyp.steps or cfg.dryrun):
+            vm = jax.device_get(fns.eval_step(eval_params, eval_bn, *val_data))
+            stats["valid_loss"] += [float(vm["valid_loss"])]
+            stats["valid_acc"] += [float(vm["valid_acc"])]
+
+        log.info(status_message(stats, step))
+
+        if cfg.analysis.type is not None and (
+                step % cfg.analysis.check_every_nth_step == 0
+                or step >= cfg.hyp.steps or cfg.dryrun):
+            from ..analysis import analyze
+            analyze(model, bundle, mesh, cfg, fns, state, stats)
+
+        if not np.isfinite(stats["train_loss"][-1]):
+            log.info("Terminating iterations due to divergence of loss...")
+            break
+
+        if cfg.hyp.stop_at_full_training_accuracy > 0:
+            last_n = stats["train_acc"][-cfg.hyp.stop_at_full_training_accuracy:]
+            if len(last_n) >= cfg.hyp.stop_at_full_training_accuracy and min(last_n) == 1:
+                log.info("Terminating training after fitting all datapoints.")
+                vm = jax.device_get(fns.eval_step(eval_params, eval_bn, *val_data))
+                stats["valid_loss"] += [float(vm["valid_loss"])]
+                stats["valid_acc"] += [float(vm["valid_acc"])]
+                break
+
+        if cfg.impl.checkpoint.name is not None and jax.process_index() == 0:
+            if ((step - 1) % cfg.impl.checkpoint.save_every_nth_step == 0
+                    or step >= cfg.hyp.steps):
+                save_checkpoint(state, cfg)
+
+        if cfg.dryrun:
+            break
+
+    return state, stats

@@ -1,0 +1,65 @@
+"""Training utilities: checkpoint save/load, visualization snapshots.
+
+Counterpart of /root/reference/fullbatch/training/utils.py. The reference's
+5-element torch.save list [optim, model, scheduler, scaler, step]
+(training/utils.py:43-51) becomes a single TrainState pytree serialized with
+flax msgpack (the scheduler is a pure function of the step; there is no
+scaler on TPU - bf16 needs no loss scaling). _update_ema and
+_clip_gradient_list live inside the jitted step (training.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+
+import jax
+import numpy as np
+from flax import serialization
+
+log = logging.getLogger(__name__)
+
+
+def _checkpoint_file(cfg) -> Path:
+    folder = Path(os.getcwd()) / "checkpoints"
+    folder.mkdir(parents=True, exist_ok=True)
+    return folder / str(cfg.impl.checkpoint.name)
+
+
+def save_checkpoint(state, cfg, file: Path | None = None) -> Path:
+    file = file or _checkpoint_file(cfg)
+    payload = serialization.to_bytes(jax.device_get(state))
+    tmp = file.with_suffix(".tmp")
+    tmp.write_bytes(payload)
+    tmp.replace(file)  # atomic: readers never see partial checkpoints
+    return file
+
+
+def load_checkpoint(state, cfg, max_steps: int, file: Path | None = None):
+    """Restore into the given template state. Raises when the checkpoint is
+    already at max steps (reference training/utils.py:65-66)."""
+    file = file or _checkpoint_file(cfg)
+    if not file.exists():
+        log.info("No existing checkpoint found. Starting to train from step 0.")
+        return state, 0
+    restored = serialization.from_bytes(state, file.read_bytes())
+    step = int(np.asarray(restored.step))
+    if step >= max_steps:
+        raise ValueError("Maximum step size reached. Terminating computations.")
+    log.info("Existing checkpoint loaded successfully. Continuing from step %d.", step)
+    return restored, step
+
+
+def save_state_for_visualization(state, grads, update_directions, cfg, path: str):
+    """Weights + gradients + update directions for loss-landscape plots
+    (reference training/utils.py:72-85)."""
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "model_cfg": dict(cfg.model),
+        "grads": jax.device_get(grads),
+        "update_directions": jax.device_get(update_directions),
+    }
+    data = serialization.msgpack_serialize(jax.tree.map(np.asarray, payload))
+    Path(path).write_bytes(data)

@@ -1,0 +1,133 @@
+"""Data subsystem tests: synthetic fallback, augmentations, baked rounds, layout."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fullbatchtraining_tpu.config import load_config
+from fullbatchtraining_tpu.data import (
+    construct_databundle,
+    epoch_layout,
+    layout_epoch,
+    make_augment_fn,
+    normalize,
+)
+from fullbatchtraining_tpu.data.augmentations import (
+    center_crop,
+    random_crop,
+    random_horizontal_flip,
+    random_resized_crop,
+)
+
+
+def test_synthetic_fallback(config_dir, tmp_path):
+    cfg = load_config(config_dir, overrides=[
+        "data.size=128", f"data.path={tmp_path}/nothing_here"])
+    bundle = construct_databundle(cfg.data)
+    assert bundle.train.images.shape == (128, 32, 32, 3)
+    assert bundle.train.images.dtype == np.uint8
+    assert bundle.valid.labels.max() < 10
+    # deterministic: same config -> same data
+    bundle2 = construct_databundle(cfg.data)
+    assert np.array_equal(bundle.train.images, bundle2.train.images)
+
+
+def test_synthetic_is_learnable(config_dir, tmp_path):
+    """Per-class patterns are separable: nearest-pattern classification works."""
+    cfg = load_config(config_dir, overrides=["data.size=256", f"data.path={tmp_path}/x"])
+    b = construct_databundle(cfg.data)
+    imgs = b.train.images.astype(np.float32)
+    labels = b.train.labels
+    protos = np.stack([imgs[labels == c].mean(0) for c in range(10)])
+    pred = np.argmin(
+        ((imgs[:, None] - protos[None]) ** 2).reshape(len(imgs), 10, -1).sum(-1), axis=1)
+    assert (pred == labels).mean() > 0.9
+
+
+def test_random_crop_shapes_and_range():
+    imgs = np.random.randint(0, 255, (8, 32, 32, 3), np.uint8)
+    out = jax.jit(lambda x, k: random_crop(x, k, 32, 4))(imgs, jax.random.key(0))
+    assert out.shape == (8, 32, 32, 3)
+    # different key -> different crop for at least one image
+    out2 = random_crop(imgs, jax.random.key(1), 32, 4)
+    assert not np.array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_flip_is_exact_mirror():
+    imgs = np.arange(2 * 4 * 4 * 1, dtype=np.uint8).reshape(2, 4, 4, 1)
+    out = random_horizontal_flip(imgs, jax.random.key(3), p=1.0)
+    assert np.array_equal(np.asarray(out), imgs[:, :, ::-1, :])
+
+
+def test_center_crop():
+    imgs = np.zeros((2, 64, 64, 3), np.uint8)
+    assert center_crop(imgs, 56).shape == (2, 56, 56, 3)
+
+
+def test_random_resized_crop_jits():
+    imgs = np.random.randint(0, 255, (4, 32, 32, 3), np.uint8)
+    out = jax.jit(lambda x, k: random_resized_crop(x, k, 24))(imgs, jax.random.key(0))
+    assert out.shape == (4, 24, 24, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_normalize():
+    imgs = np.full((2, 4, 4, 3), 255, np.uint8)
+    out = normalize(imgs, [1.0, 1.0, 1.0], [0.5, 0.5, 0.5])
+    assert np.allclose(np.asarray(out), 0.0)
+
+
+def test_augment_fn_from_config(config_dir):
+    cfg = load_config(config_dir)
+    fn = make_augment_fn(cfg.data.augmentations_train)
+    imgs = np.random.randint(0, 255, (4, 32, 32, 3), np.uint8)
+    out = jax.jit(fn)(imgs, jax.random.key(0))
+    assert out.shape == (4, 32, 32, 3)
+
+
+def test_epoch_layout():
+    blocks, chunks, sub = epoch_layout(total=50_000, batch_size=128, sub_batch=128,
+                                       num_devices=1)
+    assert (blocks, chunks, sub) == (390, 1, 128)
+    blocks, chunks, sub = epoch_layout(total=50_000, batch_size=128, sub_batch=32,
+                                       num_devices=4)
+    assert (blocks, chunks, sub) == (97, 4, 32)
+
+
+def test_epoch_layout_dryrun_one_block():
+    blocks, _, _ = epoch_layout(256, 32, 32, 2, dryrun=True)
+    assert blocks == 1
+
+
+def test_layout_epoch_preserves_samples():
+    imgs = np.arange(64, dtype=np.uint8).reshape(64, 1, 1, 1)
+    labels = np.arange(64, dtype=np.int32)
+    li, ll = layout_epoch(imgs, labels, num_blocks=2, chunks=2, sub=8, num_devices=2)
+    assert li.shape == (2, 2, 2, 8, 1, 1, 1)
+    assert set(ll.flatten().tolist()) == set(range(64))
+
+
+def test_baked_rounds(config_dir, tmp_path):
+    cfg = load_config(config_dir, overrides=[
+        "data.size=64", f"data.path={tmp_path}/none", "data.db=baked",
+        f"data.db.path={tmp_path}/db", "data.db.rounds=3",
+        "data.db.first_round_clean=True", "data.db.shuffle_while_writing=False",
+    ])
+    bundle = construct_databundle(cfg.data)
+    assert bundle.baked is not None
+    assert bundle.train.images.shape[0] == 3 * 64  # N x dataset
+    # first_round_clean: round 0 equals the raw data (unshuffled)
+    raw = construct_databundle(load_config(config_dir, overrides=[
+        "data.size=64", f"data.path={tmp_path}/none"]).data).train
+    r0 = bundle.baked.round(0)
+    assert np.array_equal(r0.images, raw.images)
+    # round indexing wraps (reference: step % rounds)
+    r3 = bundle.baked.round(3)
+    assert np.array_equal(r3.images, r0.images)
+    # later rounds are augmented -> differ
+    r1 = bundle.baked.round(1)
+    assert not np.array_equal(r1.images, r0.images)
+    # rebuild_existing_database=False -> second call reuses the db
+    bundle2 = construct_databundle(cfg.data)
+    assert np.array_equal(bundle2.baked.round(1).images, r1.images)

@@ -1,0 +1,135 @@
+"""Model zoo tests: construction, forward shapes, init properties, losses."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fullbatchtraining_tpu.config import load_config
+from fullbatchtraining_tpu.models import construct_model, initialize_model
+from fullbatchtraining_tpu.models.modules import (
+    incorrect_cross_entropy,
+    label_smooth_cross_entropy,
+    maxup_loss,
+)
+
+
+def _build(config_dir, model_name, pixels=32, channels=3, classes=10, batch=2):
+    cfg = load_config(config_dir, overrides=[f"model={model_name}"])
+    model = construct_model(cfg.model, channels, classes)
+    variables = initialize_model(model, jax.random.key(0), pixels, channels, batch=batch)
+    return model, variables
+
+
+def _forward(model, variables, batch=2, pixels=32, channels=3, train=True):
+    x = jax.random.normal(jax.random.key(1), (batch, pixels, pixels, channels))
+    if train:
+        out, updates = model.apply(
+            variables, x, train=True, mutable=["batch_stats"],
+            rngs={"stochdepth": jax.random.key(2), "dropout": jax.random.key(3)},
+        )
+        return out, updates
+    return model.apply(variables, x, train=False), None
+
+
+@pytest.mark.parametrize(
+    "name", ["resnet18", "resnet20", "resnet50", "vgg11", "vgg16", "densenet121",
+             "pyramidnet110", "nfn", "linear"])
+def test_forward_shapes(config_dir, name):
+    model, variables = _build(config_dir, name)
+    out, _ = _forward(model, variables)
+    assert out.shape == (2, 10)
+    out_eval = model.apply(variables, jnp.zeros((2, 32, 32, 3)), train=False)
+    assert out_eval.shape == (2, 10)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("depth,expect",
+                         [(18, 11_173_962), (20, 272_474)])
+def test_resnet_param_counts(config_dir, depth, expect):
+    """Parameter counts match the torchvision/CIFAR references for the
+    intended width semantics (resnet18 width 64, resnet20 width 16)."""
+    model, variables = _build(config_dir, f"resnet{depth}")
+    count = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+    assert count == expect, f"ResNet{depth}: {count} != {expect}"
+
+
+def test_zero_init_residual(config_dir):
+    """initialization: skip-residual zeroes the last BN scale per block
+    (reference resnets.py:119-126)."""
+    _, variables = _build(config_dir, "resnet18")
+    params = variables["params"]
+    bn2_scale = params["layer1_block0"]["bn2"]["bn"]["scale"]
+    assert np.all(np.asarray(bn2_scale) == 0.0)
+    bn1_scale = params["layer1_block0"]["bn1"]["bn"]["scale"]
+    assert np.all(np.asarray(bn1_scale) == 1.0)
+
+
+def test_batch_stats_update(config_dir):
+    model, variables = _build(config_dir, "resnet18")
+    x = jax.random.normal(jax.random.key(4), (4, 32, 32, 3)) * 3 + 1
+    _, updates = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    old = jax.tree.leaves(variables["batch_stats"])
+    new = jax.tree.leaves(updates["batch_stats"])
+    assert any(not np.allclose(o, n) for o, n in zip(old, new))
+
+
+def test_skipinit_resnet(config_dir):
+    cfg = load_config(config_dir, overrides=["model=resnet18", "model.normalization=skipinit"])
+    model = construct_model(cfg.model, 3, 10)
+    variables = initialize_model(model, jax.random.key(0), 32, 3)
+    # skipinit: no batch stats; Skipper alpha params present and zero.
+    assert "batch_stats" not in variables or not variables["batch_stats"]
+    alphas = [v for path, v in jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+              if "skip" in str(path) and "alpha" in str(path)]
+    assert alphas and all(np.asarray(a) == 0.0 for a in alphas)
+    out, _ = model.apply(variables, jnp.ones((2, 32, 32, 3)), train=True,
+                         mutable=["batch_stats"])
+    assert out.shape == (2, 10)
+
+
+def test_ghostnorm_resnet(config_dir):
+    cfg = load_config(config_dir,
+                      overrides=["model=resnet20", "model.normalization=SequentialGhostNorm"])
+    model = construct_model(cfg.model, 3, 10)
+    variables = initialize_model(model, jax.random.key(0), 32, 3)
+    x = jax.random.normal(jax.random.key(1), (128, 32, 32, 3))
+    out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (128, 10)
+
+
+def test_wsconv_standardization(config_dir):
+    cfg = load_config(config_dir, overrides=["model=resnet20", "model.convolution=standardized"])
+    model = construct_model(cfg.model, 3, 10)
+    variables = initialize_model(model, jax.random.key(0), 32, 3)
+    out, _ = model.apply(variables, jnp.ones((2, 32, 32, 3)) * 100.0, train=True,
+                         mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_label_smoothing_loss():
+    logits = jnp.array([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0]])
+    labels = jnp.array([0, 1])
+    plain = label_smooth_cross_entropy(logits, labels, 0.0)
+    smoothed = label_smooth_cross_entropy(logits, labels, 0.1)
+    assert plain < smoothed  # smoothing penalizes confident correct predictions
+    # matches -log softmax at the target for smoothing 0
+    expected = -jax.nn.log_softmax(logits)[jnp.arange(2), labels].mean()
+    assert np.isclose(plain, expected, atol=1e-6)
+
+
+def test_incorrect_xent_masks_correct():
+    logits = jnp.array([[10.0, 0.0], [10.0, 0.0]])
+    labels = jnp.array([0, 1])  # first correct, second wrong
+    loss = incorrect_cross_entropy(logits, labels)
+    full = label_smooth_cross_entropy(logits, labels, 0.0)
+    assert 0 < loss < full
+
+
+def test_maxup_respects_ntrials():
+    """The reference ignored its ntrials arg (modules.py:127); we honor it."""
+    logits = jax.random.normal(jax.random.key(0), (12, 5))
+    labels = jnp.zeros((12,), jnp.int32)
+    l2 = maxup_loss(logits, labels, ntrials=2)
+    l3 = maxup_loss(logits, labels, ntrials=3)
+    assert not np.isclose(float(l2), float(l3))
