@@ -72,19 +72,40 @@ def _load_cifar_pickles(base: Path, name: str) -> tuple | None:
 
 def _synthetic(name: str, size: int, pixels: int, channels: int, classes: int,
                seed: int = 0) -> tuple:
-    """Deterministic learnable synthetic data: per-class mean patterns + noise."""
+    """Deterministic learnable synthetic data: per-class mean patterns + noise.
+
+    Cached to disk after first generation - gaussian sampling of 50k images on
+    a single host core costs minutes, loading the cache costs milliseconds.
+    """
+    cache = Path("/tmp/fbt_synthetic") / f"{name}_{size}_{pixels}_{channels}_{classes}_{seed}.npz"
+    if cache.exists():
+        data = np.load(cache)
+        return ((data["tx"], data["ty"]), (data["vx"], data["vy"]))
+
     rng = np.random.default_rng(seed)
-    patterns = rng.uniform(0, 255, (classes, pixels, pixels, channels))
+    patterns = rng.uniform(0, 255, (classes, pixels, pixels, channels)).astype(np.float32)
 
     def make(n, split_seed):
         r = np.random.default_rng(split_seed)
         labels = r.integers(0, classes, n)
-        noise = r.normal(0, 48.0, (n, pixels, pixels, channels))
-        images = np.clip(patterns[labels] + noise, 0, 255).astype(np.uint8)
+        images = np.empty((n, pixels, pixels, channels), np.uint8)
+        step = 4096
+        for start in range(0, n, step):  # chunked: bounds peak memory on small hosts
+            idx = labels[start:start + step]
+            noise = r.standard_normal((len(idx), pixels, pixels, channels),
+                                      dtype=np.float32)
+            block = patterns[idx] + 48.0 * noise
+            np.clip(block, 0, 255, out=block)
+            images[start:start + step] = block.astype(np.uint8)
         return images, labels
 
-    valid_n = max(classes, min(size // 5, 10_000))
-    return make(size, seed + 1), make(valid_n, seed + 2)
+    train, valid = make(size, seed + 1), make(max(classes, min(size // 5, 10_000)), seed + 2)
+    try:
+        cache.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(cache, tx=train[0], ty=train[1], vx=valid[0], vy=valid[1])
+    except OSError:
+        pass
+    return train, valid
 
 
 def _load_tiny_imagenet(base: Path) -> tuple | None:

@@ -22,7 +22,10 @@ log = logging.getLogger(__name__)
 
 
 def _checkpoint_file(cfg) -> Path:
-    folder = Path(os.getcwd()) / "checkpoints"
+    # Reference semantics: checkpoints live under the ORIGINAL working
+    # directory, not the per-run output dir (training.py:332-334), so resumed
+    # jobs with the same name find them.
+    folder = Path(cfg.get("original_cwd", os.getcwd())) / "checkpoints"
     folder.mkdir(parents=True, exist_ok=True)
     return folder / str(cfg.impl.checkpoint.name)
 

@@ -1,0 +1,180 @@
+"""Runtime layer: job startup, mesh/system setup, logging, summary tables.
+
+TPU-native counterpart of /root/reference/fullbatch/utils.py. The reference
+spawns one process per local GPU and rendezvouses over a TCP store
+(utils.py:20-52, :88-97); under JAX one process owns all local devices, so
+job_startup only finalizes the config, creates the per-run output directory
+(Hydra's chdir behavior, reference config/cfg.yaml:23-29), seeds, and
+configures logging. system_startup builds the device mesh.
+
+The summary surface (per-step convergence CSV + appended run row in
+tables/table_fb_<dataset>_runs.csv, tab-separated) mirrors
+utils.py:131-224 so downstream tooling keeps working.
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime
+import logging
+import os
+import random
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def job_startup(cfg, script_name: str = "job"):
+    """Finalize config, create + chdir into the run directory, set up logging."""
+    cfg.original_cwd = os.getcwd()
+    if cfg.seed is None:
+        cfg.seed = random.SystemRandom().randint(0, 2**31 - 1)
+    now = datetime.datetime.now()
+    run_dir = (Path(cfg.base_dir) / now.strftime("%Y-%m-%d") / now.strftime("%H-%M-%S.%f"))
+    run_dir.mkdir(parents=True, exist_ok=True)
+    os.chdir(run_dir)
+
+    handlers = [logging.StreamHandler(sys.stdout)]
+    handlers.append(logging.FileHandler(f"{script_name}.log"))
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s: %(message)s",
+        handlers=handlers,
+        force=True,
+    )
+    logging.getLogger("jax").setLevel(logging.WARNING)
+    np.random.seed(cfg.seed % 2**32)
+    random.seed(cfg.seed)
+    return cfg
+
+
+def system_startup(cfg):
+    """Initialize distributed runtime (if any) and build the mesh."""
+    import jax
+
+    # Restore standard JAX_PLATFORMS semantics: the axon site hook registers
+    # the TPU backend unconditionally, shadowing the env var.
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except RuntimeError:
+            pass  # backend already initialized
+
+    from .parallel import make_mesh, setup_distributed
+
+    setup_distributed(cfg.impl.setup)
+    mesh = make_mesh(cfg.impl.setup)
+    log.info("Platform: %s, devices: %d (%s), processes: %d, mesh axes: %s",
+             jax.default_backend(), jax.device_count(),
+             jax.devices()[0].device_kind, jax.process_count(), mesh.axis_names)
+    log.info("Python %s, jax %s", sys.version.split()[0], jax.__version__)
+    log.info("Config name: %s, seed: %s, dryrun: %s", cfg.name, cfg.seed, cfg.dryrun)
+    return mesh
+
+
+def is_main_process() -> bool:
+    import jax
+
+    return jax.process_index() == 0
+
+
+def save_summary(cfg, stats, local_time: float):
+    """Per-step convergence table + appended one-row run summary
+    (reference utils.py:131-186)."""
+    if not is_main_process():
+        return
+    num_steps = len(stats.get("train_loss", []))
+    for step in range(num_steps):
+        iteration = {}
+        for key in stats:
+            values = stats[key]
+            iteration[key] = values[step] if step < len(values) else None
+        save_to_table(".", f"{cfg.name}_convergence_results", dryrun=cfg.dryrun, **iteration)
+
+    def maybe(key):
+        return stats[key][-1] if stats.get(key) else ""
+
+    max_val_acc = max(stats["valid_acc"]) if stats.get("valid_acc") else ""
+    try:
+        # Skip warmup, find the validation block with minimal full training loss
+        # and report validation accuracy there (utils.py:149-157).
+        warmup = cfg.hyp.warmup
+        blocks = np.array(stats["full_loss"][warmup:], dtype=np.float64)
+        blocks = blocks[: len(blocks) - len(blocks) % cfg.impl.validate_every_nth_step]
+        blocks = blocks.reshape(-1, cfg.impl.validate_every_nth_step)
+        best = blocks.mean(-1).argmin() + warmup // cfg.impl.validate_every_nth_step
+        acc_at_min_loss = stats["valid_acc"][best]
+    except (ValueError, IndexError, KeyError):
+        acc_at_min_loss = ""
+
+    flat_hyp = _flatten(dict(cfg.hyp))
+    flat_impl = _flatten({k: v for k, v in cfg.impl.items() if k != "setup"})
+    summary = dict(
+        name=cfg.name,
+        model=cfg.model.name,
+        optimizer=cfg.hyp.optim.name,
+        stoch=cfg.hyp.train_stochastic,
+        augmentations=bool(cfg.data.augmentations_train),
+        valid_acc=maybe("valid_acc"),
+        valid_acc_at_min_loss=acc_at_min_loss,
+        max_val_acc=max_val_acc,
+        train_acc=maybe("train_acc"),
+        valid_loss=maybe("valid_loss"),
+        train_loss=maybe("train_loss"),
+        full_loss=maybe("full_loss"),
+        grad_norm=maybe("grad_norm"),
+        avg_step_time=float(np.median(np.asarray(stats["train_time"], dtype=np.float64)))
+        if stats.get("train_time") else "",
+        total_time=str(datetime.timedelta(seconds=int(local_time))).replace(",", ""),
+        param_norm=maybe("param_norm"),
+        grad_SNR=maybe("analysis_grad_SNR"),
+        grad_mean_norm=maybe("analysis_grad_mean_norm"),
+        grad_noise_scale=maybe("analysis_grad_noise_scale"),
+        empirical_flatness=maybe("analysis_empirical_flatness"),
+        batch_size=cfg.data.batch_size,
+        **flat_hyp,
+        **flat_impl,
+        seed=cfg.seed,
+        folder=os.getcwd(),
+    )
+    save_to_table(os.path.join(cfg.original_cwd, "tables"),
+                  f"fb_{cfg.data.name}_runs", dryrun=cfg.dryrun, **summary)
+
+
+def _flatten(d, prefix=""):
+    out = {}
+    for k, v in d.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix=f"{key}."))
+        else:
+            out[key] = v
+    return out
+
+
+def save_to_table(out_dir, table_name, dryrun, **kwargs):
+    """Append a row to a tab-separated .csv, creating the header on first use."""
+    if dryrun:
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    fname = os.path.join(out_dir, f"table_{table_name}.csv")
+    fieldnames = list(kwargs.keys())
+    if not os.path.exists(fname):
+        with open(fname, "w", newline="") as handle:
+            csv.DictWriter(handle, delimiter="\t", fieldnames=fieldnames).writeheader()
+    with open(fname, "a", newline="") as handle:
+        csv.DictWriter(handle, delimiter="\t", fieldnames=fieldnames,
+                       extrasaction="ignore").writerow(kwargs)
+
+
+class Timer:
+    def __enter__(self):
+        self.start = time.time()
+        return self
+
+    def __exit__(self, *args):
+        self.elapsed = time.time() - self.start

@@ -16,7 +16,14 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import pathlib
 import sys
 
+import jax
 import pytest
+
+# The axon site hook (sitecustomize in PYTHONPATH) force-registers the real
+# TPU backend regardless of JAX_PLATFORMS; override at the config level so
+# tests genuinely run on the 8-device virtual CPU backend.
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 8, f"expected 8 CPU devices, got {jax.devices()}"
 
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
