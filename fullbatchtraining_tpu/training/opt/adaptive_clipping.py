@@ -1,0 +1,67 @@
+"""Iteration-adaptive gradient clipping ('Adaptive Gradient Descent').
+
+Behavioral re-implementation of the reference AdaptiveGradientClipping
+(/root/reference/fullbatch/training/additional_optimizers/adaptive_clipping.py):
+track the gradient norms of the last ``interval`` steps; when the current
+norm exceeds their maximum, rescale the gradient down to that maximum, then
+take an SGD step.
+
+Two reference defects fixed per SURVEY.md §7 (document, fix):
+* ``_scale_gradients`` scaled the *parameters* instead of the gradients
+  (adaptive_clipping.py:39-42);
+* the non-clipping path after warmup returned without calling the optimizer
+  step at all (adaptive_clipping.py:70-74). Here every update steps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..grad_reg import tree_scale
+from ..optimizers import torch_sgd
+
+
+class AdaptiveClipState(NamedTuple):
+    sgd: Any
+    norm_history: jax.Array  # (interval,)
+    count: jax.Array
+
+
+def adaptive_clipped_sgd(cfg_optim, mask=None):
+    interval = int(cfg_optim.interval)
+    norm_type = float("inf") if cfg_optim.norm_type == "inf" else float(cfg_optim.norm_type)
+
+    base_init, base_update = torch_sgd(
+        momentum=cfg_optim.momentum, dampening=cfg_optim.dampening,
+        nesterov=cfg_optim.nesterov, weight_decay=cfg_optim.weight_decay, mask=mask)
+
+    def init(params):
+        return AdaptiveClipState(sgd=base_init(params),
+                                 norm_history=jnp.zeros((interval,), jnp.float32),
+                                 count=jnp.zeros((), jnp.int32))
+
+    def grad_norm(grads):
+        import math
+
+        leaves = jax.tree.leaves(grads)
+        if math.isinf(norm_type):
+            return jnp.max(jnp.asarray([jnp.max(jnp.abs(g)) for g in leaves]))
+        stack = jnp.asarray([jnp.linalg.norm(g.reshape(-1), ord=norm_type) for g in leaves])
+        return jnp.linalg.norm(stack, ord=norm_type)
+
+    def update(grads, state, params, lr):
+        norm = grad_norm(grads).astype(jnp.float32)
+        warm = state.count >= interval
+        recent_max = jnp.max(state.norm_history)
+        scale = jnp.where(warm & (norm >= recent_max),
+                          recent_max / (norm + 1e-6), 1.0)
+        grads = tree_scale(grads, scale)
+        history = state.norm_history.at[state.count % interval].set(norm)
+        new_params, sgd_state = base_update(grads, state.sgd, params, lr)
+        return new_params, AdaptiveClipState(sgd=sgd_state, norm_history=history,
+                                             count=state.count + 1)
+
+    return init, update

@@ -1,0 +1,258 @@
+"""Closure-based line-search optimizers.
+
+Behavioral re-implementations of the reference's SGD line searches
+(/root/reference/fullbatch/training/additional_optimizers/sgd_linesearch.py):
+RestartingLineSearch, NonMonotoneLinesearch, WolfeGradientDescent. Matching
+the reference's structure, each closure call is a full jitted dataset pass
+(fns.gradient_eval), and the search logic runs in Python (SURVEY.md §7:
+line-search loops stay in Python with jitted evals). Save/restore of
+parameters (sgd_linesearch.py:34-52) is free here - pytrees are immutable.
+
+Deviation, documented: NonMonotoneLinesearch retries in the reference reuse
+param.grad from whichever evaluation last wrote it and apply the shrink
+factor only once (sgd_linesearch.py:138-145, :166-178); here retry k uses the
+intended semantics factor^k * original_gradient.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..grad_reg import tree_add_scaled, tree_scale
+from ..optimizers import SGDState
+
+log = logging.getLogger(__name__)
+
+
+def tree_dot(a, b):
+    return sum(jnp.vdot(x, y) for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+
+def _sgd_pieces(cfg_optim):
+    return (float(cfg_optim.momentum), float(cfg_optim.dampening),
+            bool(cfg_optim.nesterov), float(cfg_optim.weight_decay))
+
+
+def _descent_direction(grads, params, opt_state: SGDState, cfg_optim):
+    """torch-SGD direction + momentum-buffer update
+    (sgd_linesearch.py:210-244): returns (p_k, new_opt_state, phi0_grad)."""
+    momentum, dampening, nesterov, wd = _sgd_pieces(cfg_optim)
+    g = tree_add_scaled(grads, params, wd) if wd else grads
+    if momentum:
+        first = opt_state.count == 0
+        buf = jax.tree.map(lambda b, gg: jnp.where(first, gg, momentum * b + (1 - dampening) * gg),
+                           opt_state.momentum, g)
+        direction = tree_add_scaled(g, buf, momentum) if nesterov else buf
+    else:
+        buf = opt_state.momentum
+        direction = g
+    p_k = tree_scale(direction, -1.0)
+    phi0_grad = float(tree_dot(g, p_k))
+    return p_k, SGDState(momentum=buf, count=opt_state.count + 1), phi0_grad
+
+
+def _finish(state, params, opt_state, bn, metrics):
+    return state.replace(step=state.step + 1, params=params, opt_state=opt_state,
+                         batch_stats=bn), metrics
+
+
+class RestartingLineSearch:
+    """Reset momentum and redo the step when the loss exceeds the maximum of
+    the last ``interval`` losses (sgd_linesearch.py:12-90)."""
+
+    def __init__(self, fns, cfg):
+        self.fns = fns
+        self.optim = cfg.hyp.optim
+        self.interval = int(cfg.hyp.optim.get("interval", 10))
+        self.losses: list[float] = []
+
+    def step(self, state, images, labels):
+        lr = self.fns.schedule(state.step)
+        grads, bn, metrics = self.fns.gradient_eval(state, images, labels)
+        loss = float(metrics["train_loss"])
+        p_k, opt_state, _ = _descent_direction(grads, state.params, state.opt_state,
+                                               self.optim)
+        params = tree_add_scaled(state.params, p_k, lr)
+
+        if len(self.losses) < self.interval:
+            self.losses.append(loss)
+        else:
+            recent_max = max(self.losses[-self.interval:])
+            if loss < recent_max:
+                self.losses.append(loss)
+            else:
+                log.info("Recent maximum was %g, but new loss is %g. Resetting momentum...",
+                         recent_max, loss)
+                zero = jax.tree.map(jnp.zeros_like, state.opt_state.momentum)
+                p_k, opt_state, _ = _descent_direction(
+                    grads, state.params, SGDState(momentum=zero, count=state.opt_state.count),
+                    self.optim)
+                params = tree_add_scaled(state.params, p_k, lr)
+        metrics["lr"] = lr
+        return _finish(state, params, opt_state, bn, metrics)
+
+
+class NonMonotoneLinesearch:
+    """Retry the step with a factor-shrunk gradient until the loss beats the
+    maximum of the last ``interval`` losses (sgd_linesearch.py:93-178)."""
+
+    def __init__(self, fns, cfg):
+        self.fns = fns
+        self.optim = cfg.hyp.optim
+        self.interval = int(cfg.hyp.optim.get("interval", 10))
+        self.factor = float(cfg.hyp.optim.get("factor", 0.25))
+        self.max_iter = int(cfg.hyp.optim.get("max_iter", 10))
+        self.losses: list[float] = []
+
+    def step(self, state, images, labels):
+        lr = self.fns.schedule(state.step)
+        grads, bn, metrics = self.fns.gradient_eval(state, images, labels)
+        loss = float(metrics["train_loss"])
+        p_k, opt_state, _ = _descent_direction(grads, state.params, state.opt_state,
+                                               self.optim)
+        params = tree_add_scaled(state.params, p_k, lr)
+
+        if len(self.losses) < self.interval:
+            self.losses.append(loss)
+        else:
+            recent_max = max(self.losses[-self.interval:])
+            scaled = grads
+            for _ in range(self.max_iter):
+                if loss < recent_max:
+                    self.losses.append(loss)
+                    break
+                log.info("Recent maximum was %g, but new loss is %g. Reducing lr by %g.",
+                         recent_max, loss, self.factor)
+                scaled = tree_scale(scaled, self.factor)
+                p_k, opt_state, _ = _descent_direction(scaled, state.params,
+                                                       state.opt_state, self.optim)
+                params = tree_add_scaled(state.params, p_k, lr)
+                probe = state.replace(params=params)
+                _, bn, m2 = self.fns.gradient_eval(probe, images, labels)
+                loss = float(m2["train_loss"])
+        metrics["lr"] = lr
+        return _finish(state, params, opt_state, bn, metrics)
+
+
+class WolfeGradientDescent:
+    """Strong-Wolfe line search along the (momentum) descent direction with
+    cubic-interpolation zoom (sgd_linesearch.py:183-381, Nocedal & Wright)."""
+
+    def __init__(self, fns, cfg):
+        self.fns = fns
+        self.optim = cfg.hyp.optim
+        self.c1 = float(cfg.hyp.optim.get("c1", 1e-4))
+        self.c2 = float(cfg.hyp.optim.get("c2", 0.9))
+        self.alpha_max = float(cfg.hyp.optim.get("alpha_max", 10.0))
+        self.max_iter = int(cfg.hyp.optim.get("max_iter", 10))
+
+    def _phi(self, state, images, labels, theta0, p_k, lr, alpha, lut):
+        """phi(a) = loss(theta0 + lr*a*p_k); phi'(a) = (grad+wd*theta) . p_k."""
+        if alpha in lut:
+            entry = lut[alpha]
+            return entry["val"], entry["grad"], entry
+        params = tree_add_scaled(theta0, p_k, lr * alpha)
+        probe = state.replace(params=params)
+        grads, bn, metrics = self.fns.gradient_eval(probe, images, labels)
+        wd = float(self.optim.weight_decay)
+        g = tree_add_scaled(grads, params, wd) if wd else grads
+        entry = {"val": float(metrics["train_loss"]), "grad": float(tree_dot(g, p_k)),
+                 "params": params, "bn": bn, "metrics": metrics}
+        lut[alpha] = entry
+        return entry["val"], entry["grad"], entry
+
+    @staticmethod
+    def _interpolate(a1, a2, lut):
+        """Cubic interpolation (sgd_linesearch.py:366-381)."""
+        if a1 == a2:
+            return a1
+        quotient = (lut[a1]["val"] - lut[a2]["val"]) / (a1 - a2)
+        d_1 = lut[a1]["grad"] + lut[a2]["grad"] - 3 * quotient
+        radicand = d_1**2 - lut[a1]["grad"] * lut[a2]["grad"]
+        if radicand < 0:
+            return 0.5 * (a1 + a2)
+        d_2 = math.copysign(1.0, a2 - a1) * math.sqrt(radicand)
+        nom = lut[a2]["grad"] + d_2 - d_1
+        denom = lut[a2]["grad"] - lut[a1]["grad"] + 2 * d_2
+        if denom == 0:
+            return 0.5 * (a1 + a2)
+        return a2 - (a2 - a1) * nom / denom
+
+    def _zoom(self, alpha_low, alpha_high, phi_eval, phi0, lut):
+        for _ in range(self.max_iter):
+            if abs(alpha_low - alpha_high) < 1e-4:
+                return alpha_low
+            alpha = self._interpolate(alpha_low, alpha_high, lut)
+            val, grad, _ = phi_eval(alpha)
+            sufficient = phi0["val"] + self.c1 * alpha * phi0["grad"]
+            if val > sufficient or val > lut[alpha_low]["val"]:
+                alpha_high = alpha
+            else:
+                if grad <= -self.c2 * phi0["grad"]:
+                    return alpha
+                if grad * (alpha_high - alpha_low) >= 0:
+                    alpha_high = alpha_low
+                alpha_low = alpha
+        return self._interpolate(alpha_low, alpha_high, lut)
+
+    def step(self, state, images, labels):
+        lr = float(self.fns.schedule(state.step))
+        grads, bn0, metrics = self.fns.gradient_eval(state, images, labels)
+        loss = float(metrics["train_loss"])
+        theta0 = state.params
+        p_k, opt_state, phi0_grad = _descent_direction(grads, theta0, state.opt_state,
+                                                       self.optim)
+        if phi0_grad > 0:
+            log.info("phi'=%g is positive. p_k is not a descent direction.", phi0_grad)
+
+        lut: dict[float, dict] = {0.0: {"val": loss, "grad": phi0_grad,
+                                        "params": theta0, "bn": bn0, "metrics": metrics}}
+        phi0 = lut[0.0]
+
+        def phi_eval(alpha):
+            return self._phi(state, images, labels, theta0, p_k, lr, alpha, lut)
+
+        alpha, prev_alpha, prev_loss = 1.0, 0.0, float("inf")
+        for _ in range(self.max_iter):
+            val, grad, _ = phi_eval(alpha)
+            sufficient = phi0["val"] + self.c1 * alpha * phi0["grad"]
+            if val > sufficient or val > prev_loss:
+                alpha = self._zoom(prev_alpha, alpha, phi_eval, phi0, lut)
+                break
+            if abs(grad) <= -self.c2 * phi0["grad"]:
+                break
+            if grad >= 0:
+                alpha = self._zoom(alpha, prev_alpha, phi_eval, phi0, lut)
+                break
+            prev_alpha, prev_loss = alpha, val
+            alpha = min(alpha * 2.5, self.alpha_max)
+            if alpha == self.alpha_max:
+                break
+
+        phi_eval(alpha)  # ensure the chosen alpha is materialized
+        chosen = lut[alpha]
+        metrics = dict(chosen["metrics"])
+        metrics["lr"] = lr
+        metrics["wolfe_alpha"] = alpha
+        return _finish(state, chosen["params"], opt_state, chosen["bn"], metrics)
+
+
+_DRIVERS = {
+    "restarting": RestartingLineSearch,
+    "non-monotone": NonMonotoneLinesearch,
+    "wolfe": WolfeGradientDescent,
+}
+
+
+def make_closure_step(fns, cfg, kind: str):
+    if kind == "lbfgs":
+        from .lbfgs import LBFGSDriver
+        return LBFGSDriver(fns, cfg).step
+    if kind not in _DRIVERS:
+        raise ValueError(f"Invalid linesearch {kind} defined.")
+    return _DRIVERS[kind](fns, cfg).step

@@ -1,0 +1,209 @@
+"""Multi-batch L-BFGS with Powell damping and Armijo/Wolfe line search.
+
+Behavioral re-implementation of the reference L-BFGS
+(/root/reference/fullbatch/training/additional_optimizers/lbfgs.py, itself
+based on Shi & Mudigere's multi-batch L-BFGS): two-loop recursion over a
+(s, y) history with H_diag = ys/yy scaling (lbfgs.py:277-321), curvature-pair
+rejection ys > eps * sBs with optional Powell damping
+y <- theta*y + (1-theta)*Bs (lbfgs.py:323-391), and a closure-driven line
+search ('None' | 'Armijo' backtracking | 'Wolfe' bracketing, lbfgs.py:397+).
+
+Each closure evaluation is a full jitted dataset pass; the quasi-Newton
+bookkeeping operates on the raveled parameter vector on device, with the
+search logic in Python (reference semantics: every closure call re-walks the
+dataset, SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.flatten_util import ravel_pytree
+
+log = logging.getLogger(__name__)
+
+
+def _is_legal(v: float) -> bool:
+    return math.isfinite(v)
+
+
+class LBFGSDriver:
+    def __init__(self, fns, cfg):
+        o = cfg.hyp.optim
+        self.fns = fns
+        self.lr = float(o.lr)
+        self.history_size = int(o.history_size)
+        self.line_search = str(o.line_search)
+        self.eps = float(o.eps)
+        self.damping = bool(o.damping)
+        self.eta = float(o.eta)
+        self.c1 = float(o.c1)
+        self.c2 = float(o.get("c2", 0.9))
+        self.max_ls = int(o.get("max_linesearches", 10))
+        self.weight_decay = float(o.get("weight_decay", 0.0))
+
+        # quasi-Newton memory (device vectors, python-list history)
+        self.s_hist: list[jax.Array] = []
+        self.y_hist: list[jax.Array] = []
+        self.H_diag = 1.0
+        self.prev_flat_grad = None
+        self.d = None
+        self.t = 1.0
+        self.Bs = None
+        self.fail = False
+        self.n_iter = 0
+        self.curv_skips = 0
+        self.fail_skips = 0
+        self._unravel = None
+
+    # -- helpers -----------------------------------------------------------
+    def _flat(self, tree):
+        vec, unravel = ravel_pytree(tree)
+        self._unravel = unravel
+        return vec
+
+    def _eval(self, state, images, labels, flat_params):
+        probe = state.replace(params=self._unravel(flat_params))
+        grads, bn, metrics = self.fns.gradient_eval(probe, images, labels)
+        g = self._flat(grads)
+        if self.weight_decay:
+            g = g + self.weight_decay * flat_params
+        return float(metrics["train_loss"]), g, bn, metrics
+
+    def two_loop_recursion(self, vec):
+        """Hv via the standard two-loop recursion (lbfgs.py:277-321)."""
+        q = vec
+        alphas = []
+        rhos = [1.0 / float(jnp.vdot(y, s)) for s, y in zip(self.s_hist, self.y_hist)]
+        for s, y, rho in zip(reversed(self.s_hist), reversed(self.y_hist),
+                             reversed(rhos)):
+            a = float(jnp.vdot(s, q)) * rho
+            alphas.append(a)
+            q = q - a * y
+        r = q * self.H_diag
+        for (s, y, rho), a in zip(zip(self.s_hist, self.y_hist, rhos),
+                                  reversed(alphas)):
+            beta = float(jnp.vdot(y, r)) * rho
+            r = r + (a - beta) * s
+        return r
+
+    def curvature_update(self, flat_grad):
+        """Accept/damp/reject the (s, y) pair (lbfgs.py:323-391)."""
+        if self.fail:
+            self.fail_skips += 1
+            return
+        y = flat_grad - self.prev_flat_grad
+        s = self.d * self.t
+        sBs = float(jnp.vdot(s, self.Bs))
+        ys = float(jnp.vdot(y, s))
+        if ys > self.eps * sBs or self.damping:
+            if self.damping and ys < self.eps * sBs and sBs != ys:
+                theta = ((1 - self.eps) * sBs) / (sBs - ys)
+                y = theta * y + (1 - theta) * self.Bs
+                ys = float(jnp.vdot(y, s))
+            if len(self.s_hist) == self.history_size:
+                self.s_hist.pop(0)
+                self.y_hist.pop(0)
+            self.s_hist.append(s)
+            self.y_hist.append(y)
+            yy = float(jnp.vdot(y, y))
+            if yy > 0:
+                self.H_diag = ys / yy
+        else:
+            self.curv_skips += 1
+
+    # -- line searches ------------------------------------------------------
+    def _armijo(self, phi, F_k, gtd):
+        t = self.lr
+        t_prev, F_prev = 0.0, float("nan")
+        for ls_step in range(self.max_ls + 1):
+            F_new = phi(t)
+            if F_new <= F_k + self.c1 * t * gtd and _is_legal(F_new):
+                return t, F_new, False
+            if ls_step >= self.max_ls:
+                return 0.0, F_k, True
+            t_new = t
+            if ls_step == 0 or not _is_legal(F_new):
+                t = t / self.eta
+            else:
+                # quadratic interpolation through (0, F_k, gtd), (t, F_new)
+                denom = 2 * (F_new - F_k - gtd * t)
+                t_q = -(gtd * t**2) / denom if denom != 0 else t / self.eta
+                t = t_q if 0.01 * t_new <= t_q <= 0.9 * t_new else t_new / self.eta
+            t_prev, F_prev = t_new, F_new
+        return t, F_new, False
+
+    def _wolfe(self, phi_grad, F_k, gtd):
+        """Armijo-Wolfe bracketing (Lewis-Overton style, lbfgs.py Wolfe path)."""
+        t = self.lr
+        alpha, beta = 0.0, float("inf")
+        F_new, g_new = phi_grad(t)
+        for _ in range(self.max_ls):
+            if F_new > F_k + self.c1 * t * gtd or not _is_legal(F_new):
+                beta = t
+                t = 0.5 * (alpha + beta)
+            elif g_new < self.c2 * gtd:
+                alpha = t
+                t = 0.5 * (alpha + beta) if math.isfinite(beta) else t * self.eta
+            else:
+                return t, F_new, False
+            F_new, g_new = phi_grad(t)
+        return t, F_new, not _is_legal(F_new)
+
+    # -- the optimizer step --------------------------------------------------
+    def step(self, state, images, labels):
+        lr_sched = float(self.fns.schedule(state.step))
+        loss, g, bn, metrics = self._eval(state, images, labels,
+                                          self._flat(state.params))
+        theta0 = self._flat(state.params)
+
+        if self.n_iter > 0:
+            self.curvature_update(g)
+        self.prev_flat_grad = g
+
+        d = -self.two_loop_recursion(g) if self.s_hist else -g * self.H_diag
+        gtd = float(jnp.vdot(g, d))
+        if gtd > 0:
+            log.info("L-BFGS direction is not a descent direction (gtd=%g); "
+                     "restarting memory.", gtd)
+            self.s_hist, self.y_hist, self.H_diag = [], [], 1.0
+            d = -g
+
+        cache: dict[float, tuple] = {}
+
+        def eval_at(t):
+            if t not in cache:
+                cache[t] = self._eval(state, images, labels, theta0 + t * d)
+            return cache[t]
+
+        if self.line_search == "Armijo":
+            t, F_new, self.fail = self._armijo(lambda tt: eval_at(tt)[0], loss, gtd)
+        elif self.line_search == "Wolfe":
+            def phi_grad(tt):
+                F, g_t, _, _ = eval_at(tt)
+                return F, float(jnp.vdot(g_t, d))
+            t, F_new, self.fail = self._wolfe(phi_grad, loss, gtd)
+        else:  # 'None': fixed steplength
+            t, self.fail = self.lr, False
+            eval_at(t)
+
+        self.d, self.t = d, t
+        self.Bs = -t * g  # B s approximation for Powell damping (lbfgs.py:500-503)
+        self.n_iter += 1
+
+        if t > 0:
+            _, _, bn, metrics = eval_at(t) if t in cache else (None, None, bn, metrics)
+            new_params = self._unravel(theta0 + t * d)
+        else:
+            new_params = self._unravel(theta0)
+        metrics = dict(metrics)
+        metrics["lr"] = lr_sched
+        metrics["lbfgs_t"] = t
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=bn)
+        return new_state, metrics

@@ -186,7 +186,13 @@ def optim_interface(params, cfg_hyp):
     name = cfg_hyp.optim.name
     mask = wd_mask if cfg_hyp.only_linear_layers_weight_decay else None
     schedule = make_lr_schedule(cfg_hyp)
-    info = {"closure": None, "modification": cfg_hyp.optim_modification.name}
+    mod = cfg_hyp.optim_modification.name
+    info = {"closure": None, "modification": mod}
+
+    # LARS/LARC absorb the inner optimizer's weight decay (reference
+    # lars.py:64-69: group wd zeroed, wd applied inside the wrapper).
+    weight_decay = float(cfg_hyp.optim.get("weight_decay", 0.0) or 0.0)
+    inner_wd = 0.0 if mod in ("LARS", "LARC") else weight_decay
 
     if name == "Gradient Descent":
         line_search = cfg_hyp.optim.get("line_search", "none")
@@ -196,13 +202,11 @@ def optim_interface(params, cfg_hyp):
             info["closure"] = line_search
         init, update = torch_sgd(
             momentum=cfg_hyp.optim.momentum, dampening=cfg_hyp.optim.dampening,
-            nesterov=cfg_hyp.optim.nesterov, weight_decay=cfg_hyp.optim.weight_decay,
-            mask=mask)
+            nesterov=cfg_hyp.optim.nesterov, weight_decay=inner_wd, mask=mask)
     elif name == "Adam":
         init, update = torch_adamw(
             betas=tuple(cfg_hyp.optim.betas), eps=cfg_hyp.optim.eps,
-            weight_decay=cfg_hyp.optim.weight_decay, amsgrad=cfg_hyp.optim.amsgrad,
-            mask=mask)
+            weight_decay=inner_wd, amsgrad=cfg_hyp.optim.amsgrad, mask=mask)
     elif name == "Adaptive Gradient Descent":
         from .opt.adaptive_clipping import adaptive_clipped_sgd
         init, update = adaptive_clipped_sgd(cfg_hyp.optim, mask=mask)
@@ -214,17 +218,16 @@ def optim_interface(params, cfg_hyp):
         from .opt.fista import fista
         init, update = fista(cfg_hyp.optim)
     elif name == "L-BFGS":
-        from .opt.lbfgs import LBFGS
         info["closure"] = "lbfgs"
-        init, update = None, None
+        init, update = (lambda params: SGDState(momentum=None, count=jnp.zeros((), jnp.int32))), None
     else:
         raise ValueError(f"Invalid optimizer {name} provided.")
 
-    mod = cfg_hyp.optim_modification.name
     if mod in ("LARS", "LARC") and update is not None:
         from .opt.lars import wrap_lars
         update = wrap_lars(update, trust_coefficient=cfg_hyp.optim_modification.trust_coefficient,
-                           clip=(mod == "LARC"), eps=cfg_hyp.optim_modification.eps)
+                           clip=(mod == "LARC"), eps=cfg_hyp.optim_modification.eps,
+                           weight_decay=weight_decay)
     # SAM wraps at the step level (two full gradient evaluations) in training.py.
 
     return init, update, schedule, info

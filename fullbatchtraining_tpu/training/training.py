@@ -92,19 +92,26 @@ class TrainFunctions:
     full_step: Callable
     stochastic_step: Callable
     eval_step: Callable
-    gradient_eval: Callable       # (state, images, labels, step) -> grads, metrics (closure opt / FP audit)
+    gradient_eval: Callable       # (state, images, labels) -> grads, bn, metrics (closure opt / FP audit)
     init_state: Callable
     schedule: Callable
     layout: tuple                 # (num_blocks, chunks, sub)
     num_devices: int
     info: dict
+    opt_update: Callable = None   # raw (grads, opt_state, params, lr) -> (params, opt_state)
+    ema_step: Callable = None     # (state) -> state with EMA refreshed (no-op when off)
 
 
 def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFunctions:
     hyp, impl = cfg.hyp, cfg.impl
     n_dev = mesh.devices.size
+    # Semi-stochastic mode draws ONE bake round per step (reference
+    # construct_subset_dataloader, data_preparation.py:89-112), so the epoch
+    # layout covers a single round, not the flat N x dataset.
+    semi = hyp.train_semi_stochastic and bundle.baked is not None
+    effective_size = bundle.size // bundle.baked.rounds if semi else bundle.size
     num_blocks, chunks, sub = epoch_layout(
-        bundle.size, bundle.batch_size, hyp.sub_batch, n_dev, dryrun=cfg.dryrun)
+        effective_size, bundle.batch_size, hyp.sub_batch, n_dev, dryrun=cfg.dryrun)
 
     param_dtype = _DTYPES[impl.dtype]
     acc_dtype = _DTYPES[impl.accumulation_dtype]
@@ -431,6 +438,10 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
                           batch_stats=batch_stats, opt_state=opt_init(params),
                           ema_params=ema_p, ema_batch_stats=ema_b)
 
+    def ema_step(state: TrainState):
+        ema_p, ema_b = ema_update(state, state.params, state.batch_stats)
+        return state.replace(ema_params=ema_p, ema_batch_stats=ema_b)
+
     donate = (0,) if impl.donate_state else ()
     jit = (lambda f, **kw: jax.jit(f, **kw)) if impl.jit else (lambda f, **kw: f)
     return TrainFunctions(
@@ -443,6 +454,8 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         layout=(num_blocks, chunks, sub),
         num_devices=n_dev,
         info=info,
+        opt_update=opt_update,
+        ema_step=jit(ema_step),
     )
 
 
@@ -535,12 +548,13 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
     variables = initialize_model(model, key, bundle.pixels, bundle.channels)
     state = fns.init_state(variables)
 
+    step_override = None
     if fns.info["closure"] is not None:
-        from .opt.closures import train_closure
-        return train_closure(model, bundle, mesh, cfg, fns, state)
-    if fns.info["modification"] == "SAM":
-        from .opt.sam import train_sam
-        return train_sam(model, bundle, mesh, cfg, fns, state)
+        from .opt.closures import make_closure_step
+        step_override = make_closure_step(fns, cfg, fns.info["closure"])
+    elif fns.info["modification"] == "SAM":
+        from .opt.sam import make_sam_step
+        step_override = make_sam_step(fns, cfg, fns.opt_update)
 
     stats = stats if stats is not None else defaultdict(list)
     start_step = 0
@@ -561,8 +575,17 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
             stochastic_now = not cfg.hyp.train_stochastic
 
         images, labels = stage_epoch(bundle, fns, mesh, cfg, step, cache)
-        step_fn = fns.stochastic_step if stochastic_now else fns.full_step
-        state, metrics = step_fn(state, images, labels)
+        if step_override is not None:
+            if stochastic_now:
+                raise NotImplementedError(
+                    "Closure optimizers / SAM run in full-batch mode "
+                    "(set hyp.train_stochastic=False).")
+            state, metrics = step_override(state, images, labels)
+            if cfg.hyp.evaluate_ema:
+                state = fns.ema_step(state)
+        else:
+            step_fn = fns.stochastic_step if stochastic_now else fns.full_step
+            state, metrics = step_fn(state, images, labels)
         metrics = jax.device_get(metrics)
         step += 1
 

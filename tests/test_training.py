@@ -1,0 +1,147 @@
+"""Training-core integration tests on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fullbatchtraining_tpu.config import load_config
+from fullbatchtraining_tpu.data import construct_databundle
+from fullbatchtraining_tpu.models import construct_model, initialize_model
+from fullbatchtraining_tpu.parallel import make_mesh
+from fullbatchtraining_tpu.training.training import (
+    make_train_functions,
+    stage_epoch,
+    train,
+)
+
+BASE = ["model=linear", "data.size=128", "data.path=/tmp/__none__",
+        "data.batch_size=16", "hyp.sub_batch=16", "hyp=fb1", "hyp.steps=2",
+        "hyp.warmup=0", "seed=0", "impl.validate_every_nth_step=10"]
+
+
+def _setup(config_dir, overrides):
+    cfg = load_config(config_dir, overrides=BASE + list(overrides))
+    mesh = make_mesh(cfg.impl.setup)
+    bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+    model = construct_model(cfg.model, bundle.channels, bundle.classes)
+    return cfg, mesh, bundle, model
+
+
+def test_full_batch_learns(config_dir):
+    cfg, mesh, bundle, model = _setup(config_dir, [
+        "hyp.steps=30", "hyp.optim.lr=0.02", "hyp.optim.weight_decay=0",
+        "data.augmentations_train=", "impl.validate_every_nth_step=29"])
+    state, stats = train(model, bundle, mesh, cfg)
+    assert stats["train_acc"][-1] > 0.95
+    assert stats["valid_acc"][-1] > 0.9
+
+
+def test_sharding_invariance(config_dir):
+    """The accumulated full gradient must not depend on the mesh size
+    (reference parity: N GPUs vs 1 GPU produce the same mean gradient)."""
+    results = {}
+    for n_dev in (1, 8):
+        cfg, _, bundle, model = _setup(config_dir, ["data.augmentations_train="])
+        mesh = make_mesh(cfg.impl.setup, devices=np.asarray(jax.devices()[:n_dev]))
+        fns = make_train_functions(model, bundle, mesh, cfg)
+        variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                     bundle.channels)
+        state = fns.init_state(variables)
+        images, labels = stage_epoch(bundle, fns, mesh, cfg, 0, {})
+        grads, _, metrics = fns.gradient_eval(state, images, labels)
+        results[n_dev] = (jax.device_get(grads), float(metrics["train_loss"]))
+    g1, l1 = results[1]
+    g8, l8 = results[8]
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_streaming_mean_equals_direct_mean(config_dir):
+    """The stable streaming accumulation equals the plain mean over chunks."""
+    cfg, mesh, bundle, model = _setup(config_dir, ["data.augmentations_train="])
+    fns = make_train_functions(model, bundle, mesh, cfg)
+    variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                 bundle.channels)
+    state = fns.init_state(variables)
+    images, labels = stage_epoch(bundle, fns, mesh, cfg, 0, {})
+    grads, _, _ = fns.gradient_eval(state, images, labels, with_modifiers=False)
+
+    # direct: one grad over the whole dataset (loss is a mean -> same value)
+    from fullbatchtraining_tpu.data.augmentations import normalize
+    from fullbatchtraining_tpu.models.modules import get_loss_fn
+
+    x = normalize(jnp.asarray(bundle.train.images), bundle.mean, bundle.std)
+    y = jnp.asarray(bundle.train.labels)
+    criterion = get_loss_fn(cfg.hyp)
+
+    def loss_fn(p):
+        logits = model.apply({"params": p}, x, train=False)
+        return criterion(logits, y)
+
+    direct = jax.grad(loss_fn)(state.params)
+    for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(direct)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_grad_clip_bounds_gradient(config_dir):
+    cfg, mesh, bundle, model = _setup(config_dir, ["hyp.grad_clip=0.01"])
+    fns = make_train_functions(model, bundle, mesh, cfg)
+    variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                 bundle.channels)
+    state = fns.init_state(variables)
+    images, labels = stage_epoch(bundle, fns, mesh, cfg, 0, {})
+    grads, _, metrics = fns.gradient_eval(state, images, labels)
+    total = np.sqrt(sum(float(jnp.sum(g**2)) for g in jax.tree.leaves(grads)))
+    assert total <= 0.0101
+    assert float(metrics["clipped_step"]) == 1.0
+    assert float(metrics["preclip_gradnorm"]) > 0.01
+
+
+def test_ema_tracks_params(config_dir):
+    cfg, mesh, bundle, model = _setup(config_dir, [
+        "hyp.evaluate_ema=True", "hyp.eval_ema_momentum=0.5", "hyp.steps=3"])
+    state, stats = train(model, bundle, mesh, cfg)
+    ema = np.concatenate([np.asarray(v).ravel() for v in jax.tree.leaves(state.ema_params)])
+    cur = np.concatenate([np.asarray(v).ravel() for v in jax.tree.leaves(state.params)])
+    assert not np.allclose(ema, cur)  # EMA lags behind
+
+
+def test_switch_stochastic(config_dir):
+    cfg, mesh, bundle, model = _setup(config_dir, [
+        "hyp.steps=3", "hyp.train_switch_stochastic=1"])
+    # fb1: train_stochastic=False, switch active while step <= 1 -> stochastic
+    state, stats = train(model, bundle, mesh, cfg)
+    assert len(stats["train_loss"]) == 3
+
+
+def test_stochastic_shuffle_and_semi(config_dir, tmp_path):
+    cfg, mesh, bundle, model = _setup(config_dir, [
+        "hyp=base_sgd", "hyp.steps=2", "data.db=baked",
+        f"data.db.path={tmp_path}/db", "data.db.rounds=2",
+        "hyp.train_semi_stochastic=True"])
+    state, stats = train(model, bundle, mesh, cfg)
+    assert np.isfinite(stats["train_loss"]).all()
+
+
+def test_dryrun_single_block(config_dir, tmp_path):
+    cfg, mesh, bundle, model = _setup(config_dir, ["dryrun=True", "hyp.steps=99"])
+    state, stats = train(model, bundle, mesh, cfg)
+    assert len(stats["train_loss"]) == 1  # dryrun breaks after one step
+
+
+def test_divergence_stops_training(config_dir):
+    cfg, mesh, bundle, model = _setup(config_dir, [
+        "hyp.steps=50", "hyp.optim.lr=1e6"])  # guaranteed blow-up
+    state, stats = train(model, bundle, mesh, cfg)
+    assert len(stats["train_loss"]) < 50
+
+
+def test_stop_at_full_training_accuracy(config_dir):
+    cfg, mesh, bundle, model = _setup(config_dir, [
+        "hyp.steps=200", "hyp.optim.lr=0.05", "hyp.optim.weight_decay=0",
+        "data.augmentations_train=", "hyp.stop_at_full_training_accuracy=2"])
+    state, stats = train(model, bundle, mesh, cfg)
+    assert len(stats["train_loss"]) < 200
+    assert stats["train_acc"][-1] == 1.0
