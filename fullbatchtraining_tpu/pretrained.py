@@ -1,0 +1,198 @@
+"""Pretrained checkpoint loading: torch .pth release format -> JAX pytrees.
+
+Counterpart of /root/reference/hubconf.py. The reference publishes trained
+ResNet checkpoints as GitHub release v1 assets in the 5-element torch.save
+list [optim_state, model_state, scheduler_state, scaler_state, step]
+(hubconf.py:37-40, training/utils.py:43-51). This module converts that
+``model_state`` OrderedDict into this framework's flax variable collections
+({'params', 'batch_stats'}), transposing conv kernels OIHW -> HWIO and
+linear weights (O, I) -> (I, O).
+
+Hub-style entry points mirror hubconf.py:71-99: resnet18_fbaug_clip /
+gradreg / gradreg_v2 / highreg and resnet152_fbaug_highreg. With zero
+network egress the release assets must be supplied as local files.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import from_dict
+from .models import construct_model, initialize_model
+
+log = logging.getLogger(__name__)
+
+# Release assets (reference hubconf.py:9-16).
+RELEASE_FILES = {
+    "resnet18_fbaug_clip": "final_fbaug_clip_lr04_resnet18.pth",
+    "resnet18_fbaug_gradreg": "final_fbaug_gradreg_lr08_resnet18.pth",
+    "resnet18_fbaug_gradreg_v2": "final_fbaug_gradreg_lr16_resnet18.pth",
+    "resnet18_fbaug_highreg": "final_fbaug_highreg_lr08_resnet18.pth",
+    "resnet152_fbaug_highreg": "final_fbaug_highreg_lr08_shuffle_resnet152.pth",
+}
+
+_RELEASE_URL = "https://github.com/JonasGeiping/fullbatchtraining/releases/download/v1/"
+
+
+def _torch_load(path):
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(payload, (list, tuple)) and len(payload) == 5:
+        _, model_state, _, _, step = payload
+    else:  # bare state dict
+        model_state, step = payload, 0
+    return {k: np.asarray(v.detach().numpy() if hasattr(v, "detach") else v)
+            for k, v in model_state.items()}, int(step)
+
+
+def _torch_key_for(path_parts: list[str], leaf: str, collection: str) -> str | None:
+    """Map a flax parameter path to the reference ResNet state-dict key.
+
+    Reference module layout (resnets.py): stem = Sequential(conv, bn, nonlin
+    [, maxpool]); layers = Sequential of stage-Sequentials of blocks;
+    downsample variants place the conv/norm at Sequential indices depending
+    on the variant; classifier is ``fc``.
+    """
+    name = path_parts[0]
+    suffix_map = {
+        ("params", "kernel"): "weight", ("params", "scale"): "weight",
+        ("params", "bias"): "bias",
+        ("batch_stats", "mean"): "running_mean", ("batch_stats", "var"): "running_var",
+    }
+    suffix = suffix_map[(collection, leaf)]
+
+    if name == "fc":
+        return f"fc.{suffix}"
+    if name.startswith("stem_conv"):
+        idx = int(name.removeprefix("stem_conv")) - 1
+        return f"stem.{3 * idx}.{suffix}"
+    if name.startswith("stem_bn"):
+        idx = int(name.removeprefix("stem_bn")) - 1
+        return f"stem.{3 * idx + 1}.{suffix}"
+
+    match = re.fullmatch(r"layer(\d+)_block(\d+)", name)
+    if match:
+        stage, block = int(match.group(1)) - 1, int(match.group(2))
+        inner = path_parts[1]
+        if inner == "downsample":
+            # downsample='C': Sequential(AvgPool, conv, norm) -> indices 1, 2
+            # downsample='B': Sequential(conv, norm) -> indices 0, 1 (handled
+            # by the fallback probe in convert_torch_resnet).
+            kind = path_parts[2]  # 'conv' or 'norm'
+            idx = {"conv": 1, "norm": 2}[kind]
+            return f"layers.{stage}.{block}.downsample.{idx}.{suffix}"
+        # conv1/bn1/conv2/... map 1:1
+        return f"layers.{stage}.{block}.{inner}.{suffix}"
+    return None
+
+
+def convert_torch_resnet(model_state: dict, variables: dict) -> dict:
+    """Fill the flax variables with the reference ResNet torch state dict."""
+    converted = {"params": jax.device_get(variables["params"]),
+                 "batch_stats": jax.device_get(variables.get("batch_stats", {}))}
+    missing = []
+
+    def visit(collection):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(converted[collection])
+        new_leaves = []
+        for path, leaf in flat:
+            parts = [p.key for p in path]
+            # strip the flax BatchNorm wrapper level ('bn') for key mapping
+            logical = [p for p in parts[:-1] if p != "bn"]
+            key = _torch_key_for(logical, parts[-1], collection)
+            value = None
+            if key is not None:
+                def shape_ok(v):
+                    if v is None:
+                        return False
+                    if parts[-1] != "kernel":
+                        return v.shape == leaf.shape
+                    if v.ndim == 4:
+                        return v.transpose(2, 3, 1, 0).shape == leaf.shape
+                    if v.ndim == 2:
+                        return v.T.shape == leaf.shape
+                    return v.shape == leaf.shape
+
+                # Sequential indices differ by downsample variant:
+                # A: (conv,) -> 0 ; B: (conv, norm) -> 0, 1 ; C: (pool, conv,
+                # norm) -> 1, 2. Probe candidates and accept by shape.
+                candidates = [key]
+                if ".downsample." in key:
+                    for a, b in (("1.", "0."), ("2.", "1.")):
+                        candidates.append(key.replace(f".downsample.{a}",
+                                                      f".downsample.{b}"))
+                for cand in candidates:
+                    if shape_ok(model_state.get(cand)):
+                        value = model_state[cand]
+                        break
+            if value is None:
+                missing.append("/".join(parts))
+                new_leaves.append(leaf)
+                continue
+            if parts[-1] == "kernel":
+                if value.ndim == 4:  # OIHW -> HWIO
+                    value = value.transpose(2, 3, 1, 0)
+                elif value.ndim == 2:  # (O, I) -> (I, O)
+                    value = value.T
+            assert value.shape == leaf.shape, \
+                f"{'/'.join(parts)}: {value.shape} != {leaf.shape}"
+            new_leaves.append(jnp.asarray(value, leaf.dtype))
+        converted[collection] = jax.tree.unflatten(treedef, new_leaves)
+
+    visit("params")
+    if converted["batch_stats"]:
+        visit("batch_stats")
+    if missing:
+        raise KeyError(f"Unmapped parameters during conversion: {missing[:10]}")
+    return converted
+
+
+def _model_cfg(depth: int, width: int = 64, downsample: str = "C"):
+    return from_dict({
+        "name": f"ResNet{depth}", "depth": depth, "width": width, "stem": "CIFAR",
+        "convolution": "Standard", "nonlin_fn": "ReLU",
+        "normalization": "BatchNorm2d", "downsample": downsample,
+        "initialization": "skip-residual",
+    })
+
+
+def load_pretrained(entry: str, file: str | Path | None = None,
+                    channels: int = 3, classes: int = 10):
+    """Build the model + converted variables for a hub entry.
+
+    ``file``: local path to the release .pth asset (required offline; with
+    egress, torch.hub downloads from the v1 release URL).
+    """
+    if entry not in RELEASE_FILES:
+        raise ValueError(f"Unknown entry {entry}. Available: {sorted(RELEASE_FILES)}")
+    depth = 152 if "152" in entry else 18
+    cfg_model = _model_cfg(depth)
+    model = construct_model(cfg_model, channels, classes)
+    variables = initialize_model(model, jax.random.key(0), pixels=32, channels=channels)
+
+    if file is None:
+        import torch.hub
+
+        url = _RELEASE_URL + RELEASE_FILES[entry]
+        state = torch.hub.load_state_dict_from_url(url, map_location="cpu")
+        _, model_state, _, _, step = state
+        model_state = {k: np.asarray(v.numpy()) for k, v in model_state.items()}
+    else:
+        model_state, step = _torch_load(file)
+    variables = convert_torch_resnet(model_state, variables)
+    log.info("Loaded %s (trained to step %d).", entry, step)
+    return model, variables
+
+
+def __getattr__(name):
+    """hub-style callables: pretrained.resnet18_fbaug_highreg(file=...)"""
+    if name in RELEASE_FILES:
+        return lambda file=None, **kw: load_pretrained(name, file=file, **kw)
+    raise AttributeError(name)

@@ -613,6 +613,24 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
             from ..analysis import analyze
             analyze(model, bundle, mesh, cfg, fns, state, stats)
 
+        if cfg.analysis.save_model_every_nth_step is not None and (
+                (step - 1) % cfg.analysis.save_model_every_nth_step == 0
+                or step >= cfg.hyp.steps):
+            # Weights + grads + momentum/Nesterov update directions for
+            # loss-landscape trajectory plots (reference training.py:308-312).
+            from .utils import save_state_for_visualization
+
+            grads, _, _ = fns.gradient_eval(state, images, labels)
+            opt_state = state.opt_state
+            momentum_buf = getattr(opt_state, "momentum", None)
+            if momentum_buf is not None and cfg.hyp.optim.get("nesterov", False):
+                mu = cfg.hyp.optim.momentum
+                update_dirs = jax.tree.map(lambda g, m: g + mu * m, grads, momentum_buf)
+            else:
+                update_dirs = momentum_buf
+            path = f"{cfg.name}_{cfg.model.name}_step_{step}.msgpack"
+            save_state_for_visualization(state, grads, update_dirs, cfg, path)
+
         if not np.isfinite(stats["train_loss"][-1]):
             log.info("Terminating iterations due to divergence of loss...")
             break

@@ -1,0 +1,178 @@
+"""Loss-landscape crunching: vmapped full-dataset evaluation over grid positions.
+
+TPU-native re-architecture of /root/reference/fullbatch/visualization/crunch.py.
+The reference evaluates one (x, y) grid position per full data pass, with an
+LMDB claim-row scheme for work sharing. Here ``viz.vmap_positions`` positions
+are evaluated PER PASS: the parameter offsets base + x*dx + y*dy are stacked
+into a leading axis and the forward (and optional per-block gradient for the
+full-loss penalty term) is vmapped over it inside the sharded scan - the
+marquee vmap win of SURVEY.md §2 #34. Resume uses the JSONL results store.
+
+Mirrored semantics: filter-normalized random directions with the 'biasbn'
+rule, full_loss = mean loss + 0.5*wd*||p||^2 + (lr/4 * block_strength) *
+mean block grad-norm^2 when compute_full_loss and gradreg are active
+(crunch.py:92-105), and the acc_strength rejection (crunch.py:105-106).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..analysis.directions import create_random_direction, set_parameter_offset
+from ..data.augmentations import normalize as normalize_images
+from ..data.pipeline import epoch_layout, layout_epoch
+from ..models.modules import get_loss_fn
+from ..parallel.mesh import DATA_AXIS, shard_epoch_arrays
+from ..training.grad_reg import tree_sqnorm
+from ..training.optimizers import make_lr_schedule
+from .database import SurfaceStore, surface_path
+
+log = logging.getLogger(__name__)
+
+
+def make_surface_program(model, bundle, mesh, cfg, num_blocks, chunks, sub,
+                         compute_grads: bool):
+    criterion = get_loss_fn(cfg.hyp)
+    mean, std = jnp.asarray(bundle.mean), jnp.asarray(bundle.std)
+    n_dev = mesh.devices.size
+
+    def block_metrics(params, batch_stats, images, labels):
+        def loss_fn(p):
+            x = normalize_images(images, mean, std) if bundle.normalize \
+                else images.astype(jnp.float32) / 255.0
+            variables = {"params": p}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            logits = model.apply(variables, x, train=False)
+            loss = criterion(logits, labels)
+            correct = (logits.argmax(-1) == labels).astype(jnp.float32).sum()
+            return loss, correct
+
+        if compute_grads:
+            (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return loss, correct, tree_sqnorm(grads)
+        loss, correct = loss_fn(params)
+        return loss, correct, jnp.zeros(())
+
+    def _local(stacked_params, batch_stats, images, labels):
+        images = images[:, 0]
+        labels = labels[:, 0]
+        flat_imgs = images.reshape(num_blocks, chunks * sub, *images.shape[3:])
+        flat_lbls = labels.reshape(num_blocks, chunks * sub)
+
+        def per_position(params):
+            def body(carry, xs):
+                loss_sum, correct_sum, gn_sum = carry
+                loss, correct, gn = block_metrics(params, batch_stats, xs[0], xs[1])
+                return (loss_sum + loss, correct_sum + correct, gn_sum + gn), None
+
+            (loss_sum, correct_sum, gn_sum), _ = jax.lax.scan(
+                body, (jnp.zeros(()), jnp.zeros(()), jnp.zeros(())),
+                (flat_imgs, flat_lbls))
+            return loss_sum, correct_sum, gn_sum
+
+        loss_sums, correct_sums, gn_sums = jax.vmap(per_position)(stacked_params)
+        package = jax.lax.psum(jnp.stack([loss_sums, correct_sums, gn_sums]), DATA_AXIS)
+        return package  # (3, G)
+
+    return jax.jit(jax.shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P(), P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        out_specs=P(), check_vma=False))
+
+
+def crunch(model, bundle, mesh, cfg, fns, state, stats=None):
+    """Evaluate the loss surface around ``state.params`` (crunch.py:18)."""
+    stats = stats if stats is not None else defaultdict(list)
+    viz = cfg.viz
+    params = state.params
+
+    compute_grads = bool(viz.compute_full_loss) and cfg.hyp.grad_reg.block_strength != 0
+    if viz.compute_full_loss and cfg.hyp.grad_reg.acc_strength != 0:
+        raise ValueError("Loss landscape does not contain acc_strength!")
+
+    store = SurfaceStore(surface_path(cfg.impl, viz, cfg.get("original_cwd", ".")))
+    if viz.rebuild_existing_database:
+        store.remove()
+    if store.exists():
+        if not store.verify_model(params):
+            raise ValueError(f"The stored surface at {store.path} belongs to a "
+                             "different model state.")
+        _, dx, dy = store.load(params)
+        log.info("Reusing cached surface database at %s.", store.path)
+    else:
+        key = jax.random.key(cfg.seed if cfg.seed is not None else 0)
+        kx, ky = jax.random.split(key)
+        dx = create_random_direction(params, kx, norm=viz.norm, ignore=viz.ignore_layers)
+        dy = create_random_direction(params, ky, norm=viz.norm, ignore=viz.ignore_layers)
+        store.create(params, dx, dy)
+        log.info("Created new surface database at %s.", store.path)
+
+    xcoords = np.linspace(viz.coordinates.x.min, viz.coordinates.x.max, viz.coordinates.x.num)
+    ycoords = np.linspace(viz.coordinates.y.min, viz.coordinates.y.max, viz.coordinates.y.num)
+    positions = [(float(x), float(y)) for x in xcoords for y in ycoords]
+
+    done = store.results()
+    todo = [p for p in positions if store._key(p) not in done]
+    log.info("Crunching %d of %d positions (%d cached).", len(todo), len(positions),
+             len(positions) - len(todo))
+    if not todo:
+        return store, positions
+
+    n_dev = fns.num_devices
+    num_blocks, chunks, sub = epoch_layout(len(bundle.train), bundle.batch_size,
+                                           bundle.batch_size, n_dev, dryrun=cfg.dryrun)
+    li, ll = layout_epoch(bundle.train.images, bundle.train.labels,
+                          num_blocks, chunks, sub, n_dev)
+    images, labels = shard_epoch_arrays(mesh, li, ll)
+    program = make_surface_program(model, bundle, mesh, cfg, num_blocks, chunks, sub,
+                                   compute_grads)
+
+    weight_decay = float(cfg.hyp.optim.get("weight_decay", 0.0) or 0.0)
+    lr = float(make_lr_schedule(cfg.hyp)(int(state.step)))
+    param_norm_base = None  # depends on position; computed per group below
+
+    group = max(int(viz.get("vmap_positions", 8)), 1)
+    datapoints = num_blocks * chunks * sub * n_dev
+    for start in range(0, len(todo), group):
+        batch_positions = todo[start:start + group]
+        pad = group - len(batch_positions)
+        eval_positions = batch_positions + [batch_positions[-1]] * pad
+        t0 = time.time()
+
+        stacked = jax.tree.map(
+            lambda *leaves: jnp.stack(leaves),
+            *[set_parameter_offset(params, dx, x, dy, y) for x, y in eval_positions])
+        package = jax.device_get(program(stacked, state.batch_stats, images, labels))
+
+        for idx, position in enumerate(batch_positions):
+            loss_sum, correct_sum, gn_sum = package[:, idx]
+            train_loss = float(loss_sum) / num_blocks / n_dev
+            train_acc = float(correct_sum) / datapoints
+            offset = set_parameter_offset(params, dx, position[0], dy, position[1])
+            full_loss = train_loss + 0.5 * weight_decay * float(tree_sqnorm(offset))
+            if compute_grads:
+                # mean over all blocks of squared block grad norms (crunch.py:96-99)
+                full_grad_norm = float(gn_sum) / num_blocks / n_dev
+                full_loss += lr / 4 * cfg.hyp.grad_reg.block_strength * full_grad_norm
+            store.record(position, train_loss=train_loss, train_acc=train_acc,
+                         full_loss=full_loss)
+            log.info(status_message(train_loss, train_acc, full_loss,
+                                    (time.time() - t0) / len(batch_positions), position))
+        if cfg.dryrun:
+            break
+    return store, positions
+
+
+def status_message(train_loss, train_acc, full_loss, time_stamp, position):
+    msg = f"Pos: [{position[0]:4.2f}, {position[1]:4.2f}] | Time: {time_stamp:4.2f}s |"
+    msg += f"TRAIN loss {train_loss:7.4f} | TRAIN Acc: {train_acc:7.2%} |"
+    msg += f"Full loss {full_loss:7.4f} |"
+    return msg

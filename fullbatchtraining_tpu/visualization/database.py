@@ -1,0 +1,105 @@
+"""Loss-surface results store.
+
+Replaces the reference's LMDB work-sharing database
+(/root/reference/fullbatch/visualization/database.py): directions + the model
+snapshot live in a msgpack sidecar, per-position results append to a JSONL
+file. Appends are atomic at line granularity, so interrupted crunch jobs
+resume exactly like the reference's placeholder-row scheme
+(crunch.py:139-172) without an embedded C database.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from pathlib import Path
+
+import jax
+import numpy as np
+from flax import serialization
+
+log = logging.getLogger(__name__)
+
+
+def surface_path(cfg_impl, cfg_viz, original_cwd) -> Path:
+    base_name = cfg_viz.database_name or cfg_impl.checkpoint.name or "debug_db_"
+    full = os.path.splitext(str(base_name))[0] + \
+        f"_{cfg_viz.ignore_layers}_{cfg_viz.norm}_losses"
+    return Path(original_cwd) / "checkpoints" / full
+
+
+class SurfaceStore:
+    """Directions + per-position results with resume semantics."""
+
+    def __init__(self, path: Path):
+        self.path = Path(path)
+        self.meta_file = self.path.with_suffix(".directions.msgpack")
+        self.results_file = self.path.with_suffix(".results.jsonl")
+
+    def exists(self) -> bool:
+        return self.meta_file.exists()
+
+    def remove(self):
+        self.meta_file.unlink(missing_ok=True)
+        self.results_file.unlink(missing_ok=True)
+
+    def create(self, params, x_direction, y_direction):
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        payload = {
+            "params": jax.tree.map(np.asarray, jax.device_get(params)),
+            "x_direction": jax.tree.map(np.asarray, jax.device_get(x_direction)),
+            "y_direction": jax.tree.map(np.asarray, jax.device_get(y_direction)),
+        }
+        self.meta_file.write_bytes(serialization.msgpack_serialize(payload))
+
+    def load(self, params_template):
+        payload = serialization.msgpack_restore(self.meta_file.read_bytes())
+        template = {
+            "params": jax.device_get(params_template),
+            "x_direction": jax.device_get(params_template),
+            "y_direction": jax.device_get(params_template),
+        }
+        payload = serialization.from_state_dict(template, payload)
+        return payload["params"], payload["x_direction"], payload["y_direction"]
+
+    def verify_model(self, params) -> bool:
+        stored, _, _ = self.load(params)
+        for a, b in zip(jax.tree.leaves(stored), jax.tree.leaves(jax.device_get(params))):
+            if not np.array_equal(np.asarray(a), np.asarray(b)):
+                return False
+        return True
+
+    @staticmethod
+    def _key(position) -> str:
+        return f"{float(position[0]):.6f},{float(position[1]):.6f}"
+
+    def results(self) -> dict:
+        out = {}
+        if self.results_file.exists():
+            for line in self.results_file.read_text().splitlines():
+                if not line.strip():
+                    continue
+                row = json.loads(line)
+                out[self._key(row["position"])] = row
+        return out
+
+    def record(self, position, **values):
+        row = {"position": [float(position[0]), float(position[1])], **values}
+        with open(self.results_file, "a") as handle:
+            handle.write(json.dumps(row) + "\n")
+
+
+def load_surface(db_path, positions) -> dict:
+    """Surface arrays for plotting; NaN where a position is missing
+    (reference database.py:92-111)."""
+    store = SurfaceStore(Path(db_path))
+    results = store.results()
+    landscape = {key: np.full(len(positions), np.nan)
+                 for key in ("train_loss", "train_acc", "full_loss")}
+    for idx, position in enumerate(positions):
+        row = results.get(store._key(position))
+        if row is not None:
+            for key in landscape:
+                landscape[key][idx] = row.get(key, np.nan)
+    return landscape

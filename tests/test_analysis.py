@@ -1,0 +1,109 @@
+"""Analysis subsystem tests: Welford numerics, directions, full analyze pass."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from collections import defaultdict
+
+from fullbatchtraining_tpu.analysis.directions import (
+    create_random_direction,
+    set_parameter_offset,
+    tree_norm,
+)
+from fullbatchtraining_tpu.analysis.welford import (
+    welford_finalize,
+    welford_init,
+    welford_merge,
+    welford_update,
+)
+from fullbatchtraining_tpu.config import load_config
+from fullbatchtraining_tpu.data import construct_databundle
+from fullbatchtraining_tpu.models import construct_model
+from fullbatchtraining_tpu.parallel import make_mesh
+from fullbatchtraining_tpu.training.training import train
+
+
+def test_welford_matches_numpy():
+    rng = np.random.default_rng(0)
+    vectors = rng.normal(size=(20, 7)).astype(np.float32)
+    state = welford_init(7)
+    for v in vectors:
+        state = welford_update(state, jnp.asarray(v))
+    mean, var, std, norm, sqnorm = welford_finalize(state)
+    np.testing.assert_allclose(np.asarray(mean), vectors.mean(0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), vectors.var(0, ddof=1), rtol=1e-4)
+    np.testing.assert_allclose(float(norm),
+                               np.linalg.norm(vectors, axis=1).mean(), rtol=1e-5)
+
+
+def test_welford_merge_exact():
+    rng = np.random.default_rng(1)
+    vectors = rng.normal(size=(30, 5)).astype(np.float32)
+    full = welford_init(5)
+    for v in vectors:
+        full = welford_update(full, jnp.asarray(v))
+    a, b = welford_init(5), welford_init(5)
+    for v in vectors[:13]:
+        a = welford_update(a, jnp.asarray(v))
+    for v in vectors[13:]:
+        b = welford_update(b, jnp.asarray(v))
+    merged = welford_merge(a, b)
+    for x, y in zip(welford_finalize(full)[:3], welford_finalize(merged)[:3]):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-6)
+
+
+def test_random_direction_biasbn_and_filter_norm():
+    params = {"conv": {"kernel": jnp.ones((3, 3, 4, 8)) * 2.0, "bias": jnp.ones(8)},
+              "bn": {"scale": jnp.ones(8)}}
+    d = create_random_direction(params, jax.random.key(0), norm="filter")
+    assert np.all(np.asarray(d["conv"]["bias"]) == 0)  # biasbn rule
+    assert np.all(np.asarray(d["bn"]["scale"]) == 0)
+    # each output filter of the direction has the same norm as the weights'
+    dk = np.asarray(d["conv"]["kernel"])
+    wk = np.asarray(params["conv"]["kernel"])
+    for i in range(8):
+        np.testing.assert_allclose(np.linalg.norm(dk[..., i]),
+                                   np.linalg.norm(wk[..., i]), rtol=1e-4)
+
+
+def test_set_parameter_offset_2d():
+    base = {"w": jnp.zeros(3)}
+    dx = {"w": jnp.ones(3)}
+    dy = {"w": jnp.full(3, 2.0)}
+    out = set_parameter_offset(base, dx, 0.5, dy, 0.25)
+    np.testing.assert_allclose(np.asarray(out["w"]), 1.0)
+
+
+def test_full_analyze_pass(config_dir):
+    cfg = load_config(config_dir, overrides=[
+        "model=linear", "data.size=64", "data.path=/tmp/__none__",
+        "data.batch_size=8", "hyp.sub_batch=8", "hyp=fb1", "hyp.steps=2",
+        "hyp.warmup=0", "seed=0", "impl.validate_every_nth_step=10",
+        "analysis=full", "analysis.compute_gradient_SNR=True",
+        "analysis.compute_gradient_noise_scale=True",
+        "analysis.check_every_nth_step=1"])
+    mesh = make_mesh(cfg.impl.setup)
+    bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+    model = construct_model(cfg.model, bundle.channels, bundle.classes)
+    state, stats = train(model, bundle, mesh, cfg)
+    assert len(stats["analysis_param_norm"]) == 2
+    assert len(stats["analysis_grad_norm"]) == 2
+    assert len(stats["analysis_momentum_dist"]) == 2
+    assert stats["analysis_grad_SNR"][-1] > 0
+    assert "analysis_grad_noise_scale" in stats
+    assert "analysis_grad_norm_0" in stats  # per-batch norms recorded
+
+
+def test_flatness(config_dir):
+    cfg = load_config(config_dir, overrides=[
+        "model=linear", "data.size=64", "data.path=/tmp/__none__",
+        "data.batch_size=8", "hyp.sub_batch=8", "hyp=fb1", "hyp.steps=1",
+        "hyp.warmup=0", "seed=0", "impl.validate_every_nth_step=10",
+        "analysis=full", "analysis.compute_flatness=True",
+        "analysis.flatness_threshold=3.0", "analysis.flatness_step_size=0.5"])
+    mesh = make_mesh(cfg.impl.setup)
+    bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+    model = construct_model(cfg.model, bundle.channels, bundle.classes)
+    state, stats = train(model, bundle, mesh, cfg)
+    assert "analysis_empirical_flatness" in stats
+    assert stats["analysis_empirical_flatness"][-1] >= 0

@@ -1,0 +1,96 @@
+"""Loss-landscape crunch tests: vmapped surface, resume, plotting."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from fullbatchtraining_tpu.config import load_config
+from fullbatchtraining_tpu.data import construct_databundle
+from fullbatchtraining_tpu.models import construct_model, initialize_model
+from fullbatchtraining_tpu.parallel import make_mesh
+from fullbatchtraining_tpu.training.training import make_train_functions
+from fullbatchtraining_tpu.visualization import crunch, load_surface, plot_1d_loss_err_row
+
+
+def _setup(config_dir, tmp_path, extra=()):
+    cfg = load_config(config_dir, overrides=[
+        "model=linear", "data.size=64", "data.path=/tmp/__none__",
+        "data.batch_size=8", "hyp.sub_batch=8", "hyp=fb1", "hyp.warmup=0",
+        "seed=0", "viz=1d", "viz.coordinates.x.num=5", "viz.vmap_positions=3",
+        "impl.checkpoint.name=crunch_test", *extra])
+    cfg.original_cwd = str(tmp_path)
+    mesh = make_mesh(cfg.impl.setup)
+    bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+    model = construct_model(cfg.model, bundle.channels, bundle.classes)
+    fns = make_train_functions(model, bundle, mesh, cfg)
+    variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                 bundle.channels)
+    state = fns.init_state(variables)
+    return cfg, mesh, bundle, model, fns, state
+
+
+def test_crunch_1d_surface(config_dir, tmp_path):
+    cfg, mesh, bundle, model, fns, state = _setup(config_dir, tmp_path)
+    store, positions = crunch(model, bundle, mesh, cfg, fns, state)
+    assert len(positions) == 5
+    results = store.results()
+    assert len(results) == 5
+    landscape = load_surface(store.path, positions)
+    assert np.isfinite(landscape["train_loss"]).all()
+    # center position (x=0) evaluates the unperturbed model: minimum-ish loss
+    center = landscape["train_loss"][2]
+    assert center <= landscape["train_loss"].max()
+    # accuracy in [0, 1]
+    assert (landscape["train_acc"] >= 0).all() and (landscape["train_acc"] <= 1).all()
+
+
+def test_crunch_resume_skips_done(config_dir, tmp_path):
+    cfg, mesh, bundle, model, fns, state = _setup(config_dir, tmp_path)
+    store, positions = crunch(model, bundle, mesh, cfg, fns, state)
+    first = store.results()
+    # second run must reuse every position (same values, no recompute drift)
+    store2, _ = crunch(model, bundle, mesh, cfg, fns, state)
+    second = store2.results()
+    assert first.keys() == second.keys()
+    for key in first:
+        assert first[key] == second[key]
+
+
+def test_crunch_rejects_mismatched_model(config_dir, tmp_path):
+    cfg, mesh, bundle, model, fns, state = _setup(config_dir, tmp_path)
+    crunch(model, bundle, mesh, cfg, fns, state)
+    # different params -> stored surface belongs to another model state
+    variables = initialize_model(model, jax.random.key(99), bundle.pixels,
+                                 bundle.channels)
+    other = fns.init_state(variables)
+    with pytest.raises(ValueError, match="different model"):
+        crunch(model, bundle, mesh, cfg, fns, other)
+
+
+def test_crunch_with_gradreg_full_loss(config_dir, tmp_path):
+    cfg, mesh, bundle, model, fns, state = _setup(
+        config_dir, tmp_path, extra=["hyp.grad_reg.block_strength=0.5"])
+    store, positions = crunch(model, bundle, mesh, cfg, fns, state)
+    landscape = load_surface(store.path, positions)
+    # full loss includes the grad-norm penalty -> strictly above train loss
+    assert (landscape["full_loss"] >= landscape["train_loss"] - 1e-6).all()
+
+
+def test_crunch_rejects_acc_strength(config_dir, tmp_path):
+    cfg, mesh, bundle, model, fns, state = _setup(
+        config_dir, tmp_path,
+        extra=["hyp.grad_reg.block_strength=0.5", "hyp.grad_reg.acc_strength=0.1"])
+    with pytest.raises(ValueError, match="acc_strength"):
+        crunch(model, bundle, mesh, cfg, fns, state)
+
+
+def test_plot_1d(config_dir, tmp_path):
+    cfg, mesh, bundle, model, fns, state = _setup(config_dir, tmp_path)
+    store, positions = crunch(model, bundle, mesh, cfg, fns, state)
+    xcoords = np.linspace(-1, 1, 5)
+    fig, landscape = plot_1d_loss_err_row(
+        str(store.path.parent), [store.path.name], ["test"], xcoords, positions)
+    out = tmp_path / "plot.png"
+    fig.savefig(out)
+    assert out.exists() and out.stat().st_size > 0

@@ -1,0 +1,97 @@
+"""Pretrained-checkpoint conversion: forward parity against the reference model.
+
+Loads the reference's torch ResNet implementation (read-only oracle, only if
+mounted) to produce a genuine release-format state dict, converts it, and
+checks logits match between torch (NCHW) and flax (NHWC) to float tolerance.
+This is the acceptance test for hub-checkpoint compatibility (SURVEY.md §4).
+"""
+
+import importlib.util
+import pathlib
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = pathlib.Path("/root/reference/fullbatch/models")
+
+pytestmark = pytest.mark.skipif(not REFERENCE.exists(),
+                                reason="reference repo not mounted")
+
+
+def _load_reference_models():
+    """Assemble the reference models subpackage without importing fullbatch/
+    (whose __init__ requires torchvision)."""
+    pkg = types.ModuleType("refmodels")
+    pkg.__path__ = [str(REFERENCE)]
+    sys.modules["refmodels"] = pkg
+    for name in ["modules", "nfnets", "utils", "resnets"]:
+        spec = importlib.util.spec_from_file_location(
+            f"refmodels.{name}", REFERENCE / f"{name}.py")
+        module = importlib.util.module_from_spec(spec)
+        module.__package__ = "refmodels"
+        sys.modules[f"refmodels.{name}"] = module
+        spec.loader.exec_module(module)
+    return sys.modules["refmodels.resnets"]
+
+
+@pytest.mark.parametrize("depth,downsample", [(18, "C"), (18, "B"), (50, "C")])
+def test_forward_parity_with_reference_resnet(depth, downsample):
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from fullbatchtraining_tpu.models import construct_model, initialize_model
+    from fullbatchtraining_tpu.pretrained import _model_cfg, convert_torch_resnet
+
+    ref = _load_reference_models()
+    block, layers = ref.resnet_depths_to_config(depth)
+    torch_model = ref.ResNet(block, layers, 3, 10, stem="CIFAR", downsample=downsample,
+                             zero_init_residual=True)
+    torch_model.eval()
+    state_dict = {k: np.asarray(v.detach().numpy())
+                  for k, v in torch_model.state_dict().items()}
+
+    cfg_model = _model_cfg(depth, downsample=downsample)
+    model = construct_model(cfg_model, 3, 10)
+    variables = initialize_model(model, jax.random.key(0), pixels=32, channels=3)
+    variables = convert_torch_resnet(state_dict, variables)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        torch_out = torch_model(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    jax_out = np.asarray(model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), train=False))
+    np.testing.assert_allclose(jax_out, torch_out, rtol=1e-3, atol=1e-4)
+
+
+def test_release_entry_roundtrip(tmp_path):
+    """5-tuple .pth release format loads through load_pretrained."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from fullbatchtraining_tpu.pretrained import load_pretrained
+
+    ref = _load_reference_models()
+    block, layers = ref.resnet_depths_to_config(18)
+    torch_model = ref.ResNet(block, layers, 3, 10, stem="CIFAR", downsample="C",
+                             zero_init_residual=True)
+    file = tmp_path / "final_fbaug_highreg_lr08_resnet18.pth"
+    torch.save([{}, torch_model.state_dict(), {}, None, 3000], file)
+
+    model, variables = load_pretrained("resnet18_fbaug_highreg", file=file)
+    out = model.apply(variables, jnp.zeros((2, 32, 32, 3)), train=False)
+    assert out.shape == (2, 10)
+
+
+def test_unknown_entry_raises():
+    from fullbatchtraining_tpu.pretrained import load_pretrained
+
+    with pytest.raises(ValueError, match="Unknown entry"):
+        load_pretrained("resnet9000")
