@@ -1,0 +1,33 @@
+"""torch.hub-style entry points for released checkpoints.
+
+Counterpart of /root/reference/hubconf.py: same entry names, returning
+(flax_module, variables) pairs converted from the reference's released
+.pth 5-tuples (see fullbatchtraining_tpu/pretrained.py).
+"""
+
+dependencies = ["jax", "flax", "torch"]
+
+from fullbatchtraining_tpu.pretrained import (  # noqa: F401, E402
+    RELEASE_FILES,
+    load_pretrained,
+)
+
+
+def resnet18_fbaug_clip(pretrained=True, file=None, **kwargs):
+    return load_pretrained("resnet18_fbaug_clip", file=file, **kwargs)
+
+
+def resnet18_fbaug_gradreg(pretrained=True, file=None, **kwargs):
+    return load_pretrained("resnet18_fbaug_gradreg", file=file, **kwargs)
+
+
+def resnet18_fbaug_gradreg_v2(pretrained=True, file=None, **kwargs):
+    return load_pretrained("resnet18_fbaug_gradreg_v2", file=file, **kwargs)
+
+
+def resnet18_fbaug_highreg(pretrained=True, file=None, **kwargs):
+    return load_pretrained("resnet18_fbaug_highreg", file=file, **kwargs)
+
+
+def resnet152_fbaug_highreg(pretrained=True, file=None, **kwargs):
+    return load_pretrained("resnet152_fbaug_highreg", file=file, **kwargs)
