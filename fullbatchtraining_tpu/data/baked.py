@@ -51,12 +51,57 @@ def bake_dataset(train: ArrayDataset, cfg_data, cfg_db, seed: int = 0) -> Path:
     out_dir.mkdir(parents=True, exist_ok=True)
 
     aug_cfg = cfg_db.get("augmentations_train") or cfg_data.augmentations_train
-    augment = jax.jit(make_augment_fn(aug_cfg))
     n, h, w, c = train.images.shape
     images = np.lib.format.open_memmap(
         out_dir / "images.npy", mode="w+", dtype=np.uint8, shape=(rounds, n, h, w, c))
     labels = np.empty((rounds, n), np.int32)
 
+    order = _bake_native(train, aug_cfg, cfg_db, rounds, seed, images)
+    if order is not None:
+        labels[:] = train.labels[order]
+        log.info("Baked %d rounds with the native engine.", rounds)
+    else:
+        _bake_jax(train, aug_cfg, cfg_db, rounds, seed, images, labels)
+
+    images.flush()
+    np.save(out_dir / "labels.npy", labels)
+    meta = {
+        "name": cfg_data.name, "rounds": rounds, "size": n,
+        "shape": [h, w, c], "classes": int(train.classes),
+        "first_round_clean": bool(cfg_db.first_round_clean),
+        "shuffle_while_writing": bool(cfg_db.shuffle_while_writing),
+    }
+    meta_file.write_text(json.dumps(meta))
+    return out_dir
+
+
+def _bake_native(train, aug_cfg, cfg_db, rounds, seed, images) -> np.ndarray | None:
+    """Native C++ fast path for the crop+flip augmentation family; returns the
+    (rounds, n) source-order array or None when not applicable."""
+    aug = dict(aug_cfg or {})
+    if not set(aug).issubset({"RandomCrop", "RandomHorizontalFlip"}):
+        return None
+    pad, flip_p = 0, 0.0
+    if "RandomCrop" in aug:
+        size, pad = aug["RandomCrop"] if isinstance(aug["RandomCrop"], (list, tuple)) \
+            else (aug["RandomCrop"], 0)
+        if int(size) != train.images.shape[1]:
+            return None  # size-changing crops use the JAX path
+    if "RandomHorizontalFlip" in aug:
+        flip_p = float(aug["RandomHorizontalFlip"])
+
+    from .native import bake_rounds_native
+
+    return bake_rounds_native(
+        np.ascontiguousarray(train.images), rounds, int(pad), flip_p,
+        bool(cfg_db.first_round_clean), bool(cfg_db.shuffle_while_writing),
+        seed, images)
+
+
+def _bake_jax(train, aug_cfg, cfg_db, rounds, seed, images, labels):
+    """Reference-general JAX baking path (any augmentation pipeline)."""
+    augment = jax.jit(make_augment_fn(aug_cfg))
+    n = len(train.images)
     rng = np.random.default_rng(seed)
     key = jax.random.key(seed)
     for r in range(rounds):
@@ -72,17 +117,6 @@ def bake_dataset(train: ArrayDataset, cfg_data, cfg_db, seed: int = 0) -> Path:
             images[r, start:start + len(idx)] = batch
             labels[r, start:start + len(idx)] = train.labels[idx]
         log.info("Baked augmentation round %d/%d", r + 1, rounds)
-
-    images.flush()
-    np.save(out_dir / "labels.npy", labels)
-    meta = {
-        "name": cfg_data.name, "rounds": rounds, "size": n,
-        "shape": [h, w, c], "classes": int(train.classes),
-        "first_round_clean": bool(cfg_db.first_round_clean),
-        "shuffle_while_writing": bool(cfg_db.shuffle_while_writing),
-    }
-    meta_file.write_text(json.dumps(meta))
-    return out_dir
 
 
 class BakedDataset:

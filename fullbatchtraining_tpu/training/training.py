@@ -488,7 +488,11 @@ def stage_epoch(bundle: DataBundle, fns: TrainFunctions, mesh: Mesh, cfg, step: 
     if shuffled:
         seed = (cfg.seed if cfg.seed is not None else 0) * 1_000_003 + step
         order = np.random.default_rng(seed).permutation(len(images))
-        images, labels = images[order], labels[order]
+        from ..data.native import gather_rows_native
+
+        gathered = gather_rows_native(images, order)
+        images = gathered if gathered is not None else images[order]
+        labels = labels[order]
 
     li, ll = layout_epoch(images, labels, num_blocks, chunks, sub, fns.num_devices)
     staged = shard_epoch_arrays(mesh, li, ll)
