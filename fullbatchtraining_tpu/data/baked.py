@@ -98,8 +98,21 @@ def _bake_native(train, aug_cfg, cfg_db, rounds, seed, images) -> np.ndarray | N
         seed, images)
 
 
+_POLICY_KEYS = ("RandAugment", "AutoAugment", "AugMix")
+
+
+def train_mean(train) -> tuple:
+    """Cheap per-channel mean in [0, 1] for policy fill colors."""
+    sample = train.images[:: max(len(train.images) // 256, 1)]
+    return tuple((sample.reshape(-1, sample.shape[-1]).mean(0) / 255.0).tolist())
+
+
 def _bake_jax(train, aug_cfg, cfg_db, rounds, seed, images, labels):
-    """Reference-general JAX baking path (any augmentation pipeline)."""
+    """Reference-general baking path: PIL policy augmentations (RandAugment /
+    AutoAugment / AugMix, data_preparation.py:157-170) run host-side per
+    batch, everything else through the jitted pipeline."""
+    aug_cfg = dict(aug_cfg or {})
+    policies = [(k, aug_cfg.pop(k)) for k in _POLICY_KEYS if k in aug_cfg]
     augment = jax.jit(make_augment_fn(aug_cfg))
     n = len(train.images)
     rng = np.random.default_rng(seed)
@@ -111,6 +124,11 @@ def _bake_jax(train, aug_cfg, cfg_db, rounds, seed, images, labels):
             idx = order[start:start + _BAKE_BATCH]
             batch = train.images[idx]
             if not clean:
+                for pkey, spec in policies:
+                    from .policy_augment import apply_policy_batch
+
+                    batch = apply_policy_batch(batch, pkey, spec, train_mean(train),
+                                               seed=seed + r * 100_000 + start)
                 batch_key = jax.random.fold_in(key, r * 100_000 + start)
                 out = np.asarray(augment(batch, batch_key))
                 batch = np.clip(out, 0, 255).astype(np.uint8) if out.dtype != np.uint8 else out

@@ -131,3 +131,30 @@ def test_baked_rounds(config_dir, tmp_path):
     # rebuild_existing_database=False -> second call reuses the db
     bundle2 = construct_databundle(cfg.data)
     assert np.array_equal(bundle2.baked.round(1).images, r1.images)
+
+
+def test_policy_augmentations_bake(config_dir, tmp_path):
+    """RandAugment/AutoAugment/AugMix specs bake through the PIL policy path."""
+    cfg = load_config(config_dir, overrides=[
+        "data.size=32", f"data.path={tmp_path}/none", "data.db=baked",
+        f"data.db.path={tmp_path}/dbp", "data.db.rounds=2",
+        "+data.db.augmentations_train.RandAugment=rand-m7-n2-mstd0.5",
+        "data.db.shuffle_while_writing=False"])
+    bundle = construct_databundle(cfg.data)
+    raw = construct_databundle(load_config(config_dir, overrides=[
+        "data.size=32", f"data.path={tmp_path}/none"]).data).train
+    assert bundle.train.images.shape[0] == 64
+    assert not np.array_equal(bundle.baked.round(0).images, raw.images)
+
+
+def test_policy_transforms_run():
+    from fullbatchtraining_tpu.data.policy_augment import apply_policy_batch
+
+    imgs = np.random.default_rng(0).integers(0, 255, (4, 32, 32, 3), np.uint8)
+    for key, spec in [("RandAugment", "rand-m9-n2-mstd0.5-inc1"),
+                      ("AutoAugment", "v0"), ("AugMix", "augmix-m3-w3")]:
+        out = apply_policy_batch(imgs, key, spec, (0.5, 0.5, 0.5), seed=1)
+        assert out.shape == imgs.shape and out.dtype == np.uint8
+        # deterministic in the seed
+        out2 = apply_policy_batch(imgs, key, spec, (0.5, 0.5, 0.5), seed=1)
+        np.testing.assert_array_equal(out, out2)
