@@ -138,6 +138,57 @@ def _load_tiny_imagenet(base: Path) -> tuple | None:
             (np.stack(val_imgs), np.asarray(val_labels)))
 
 
+def _load_imagefolder(base: Path, pixels: int, cache_tag: str) -> tuple | None:
+    """Standard ImageFolder tree (train/<class>/*, val/<class>/*), decoded once
+    into a resized uint8 memmap cache.
+
+    Images are resized so the shorter side is ``pixels`` then center-padded to
+    square storage; the configured train/val crops (RandomResizedCrop /
+    Resize+CenterCrop) run device-side on these arrays.
+    """
+    if not (base / "train").exists():
+        return None
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+
+    cache = base / f"_fbt_cache_{cache_tag}_{pixels}"
+
+    def build(split):
+        split_dir = base / split
+        classes = sorted(d.name for d in split_dir.iterdir() if d.is_dir())
+        files, labels = [], []
+        for label, cls in enumerate(classes):
+            for f in sorted((split_dir / cls).iterdir()):
+                files.append(f)
+                labels.append(label)
+        img_file = cache / f"{split}_images.npy"
+        lbl_file = cache / f"{split}_labels.npy"
+        if img_file.exists():
+            return np.load(img_file, mmap_mode="r"), np.load(lbl_file)
+        cache.mkdir(parents=True, exist_ok=True)
+        side = int(pixels * 1.15)  # headroom for random crops
+        images = np.lib.format.open_memmap(
+            img_file, mode="w+", dtype=np.uint8, shape=(len(files), side, side, 3))
+        for i, f in enumerate(files):
+            img = Image.open(f).convert("RGB")
+            scale = side / min(img.size)
+            img = img.resize((max(side, round(img.width * scale)),
+                              max(side, round(img.height * scale))), Image.BILINEAR)
+            left = (img.width - side) // 2
+            top = (img.height - side) // 2
+            images[i] = np.asarray(img.crop((left, top, left + side, top + side)),
+                                   np.uint8)
+            if i % 50_000 == 0:
+                log.info("Decoded %d/%d %s images", i, len(files), split)
+        images.flush()
+        np.save(lbl_file, np.asarray(labels, np.int32))
+        return images, np.asarray(labels, np.int32)
+
+    return build("train"), build("val")
+
+
 def construct_datasets(cfg_data, dryrun: bool = False) -> tuple[ArrayDataset, ArrayDataset]:
     """Build (train, valid) ArrayDatasets per the data config group."""
     base = Path(os.path.expanduser(str(cfg_data.path)))
@@ -148,7 +199,7 @@ def construct_datasets(cfg_data, dryrun: bool = False) -> tuple[ArrayDataset, Ar
     elif name == "TinyImageNet":
         loaded = _load_tiny_imagenet(base)
     elif name == "ImageNet":
-        loaded = None  # folder-tree loader lands with the ImageNet recipes
+        loaded = _load_imagefolder(base, cfg_data.pixels, name)
 
     if loaded is None:
         if not cfg_data.get("synthetic_fallback", False):

@@ -253,6 +253,9 @@ def make_closure_step(fns, cfg, kind: str):
     if kind == "lbfgs":
         from .lbfgs import LBFGSDriver
         return LBFGSDriver(fns, cfg).step
+    if kind == "fista-search":
+        from .fista import FISTALineSearchDriver
+        return FISTALineSearchDriver(fns, cfg).step
     if kind not in _DRIVERS:
         raise ValueError(f"Invalid linesearch {kind} defined.")
     return _DRIVERS[kind](fns, cfg).step

@@ -26,6 +26,63 @@ class FISTAState(NamedTuple):
     tk: jax.Array
 
 
+class FISTALineSearchDriver:
+    """FISTA with descent-lemma backtracking on the step size
+    (reference fista.py:85-191): shrink lr by ``eta`` while
+    (f(x+) - f(y) - <g, x+ - y>) * lr > ||x+ - y||^2 / 2, then apply the
+    over-relaxation step. Each backtracking probe is a full jitted dataset
+    pass (closure semantics). Select with hyp/optim=fista
+    +hyp.optim.line_search=backtracking.
+    """
+
+    def __init__(self, fns, cfg):
+        o = cfg.hyp.optim
+        self.fns = fns
+        self.lr = float(o.lr)
+        self.eta = float(o.get("eta", 0.8))
+        self.max_searches = int(o.get("max_searches", 25))
+        p, q, r = [float(v) for v in o.fista_mod]
+        self.pqr = (p, q, r)
+        self.tk = float(o.get("tk", 1.0))
+        self.x_prev = None
+
+    def step(self, state, images, labels):
+        import jax.numpy as jnp
+
+        params = state.params  # y_k
+        grads, bn, metrics = self.fns.gradient_eval(state, images, labels)
+        loss_yk = float(metrics["train_loss"])
+        if self.x_prev is None:
+            self.x_prev = params
+
+        p, q, r = self.pqr
+        tk_new = (p + (q + r * self.tk**2) ** 0.5) / 2
+        ak = (self.tk - 1) / tk_new
+        self.tk = tk_new
+
+        x_plus = params
+        for _ in range(self.max_searches):
+            x_plus = jax.tree.map(lambda y, g: y - self.lr * g, params, grads)
+            delta = jax.tree.map(jnp.subtract, x_plus, params)
+            linearization = sum(float(jnp.vdot(g, d)) for g, d in
+                                zip(jax.tree.leaves(grads), jax.tree.leaves(delta)))
+            distance = sum(float(jnp.sum(d * d)) for d in jax.tree.leaves(delta)) / 2
+            probe = state.replace(params=x_plus)
+            _, _, m2 = self.fns.gradient_eval(probe, images, labels)
+            loss_xk = float(m2["train_loss"])
+            if (loss_xk - loss_yk - linearization) * self.lr > distance:
+                self.lr *= self.eta
+            else:
+                break
+
+        y_new = jax.tree.map(lambda xp, xm: xp * (1 + ak) - xm * ak, x_plus, self.x_prev)
+        self.x_prev = x_plus
+        metrics = dict(metrics)
+        metrics["lr"] = self.lr
+        return state.replace(step=state.step + 1, params=y_new,
+                             batch_stats=bn), metrics
+
+
 def fista(cfg_optim, projection: Callable | None = None):
     lr = float(cfg_optim.lr)
     p_factor, q_factor, r_factor = [float(v) for v in cfg_optim.fista_mod]

@@ -216,6 +216,8 @@ def optim_interface(params, cfg_hyp):
                                only_linear_wd=cfg_hyp.only_linear_layers_weight_decay)
     elif name == "FISTA":
         from .opt.fista import fista
+        if cfg_hyp.optim.get("line_search") in ("backtracking", "search"):
+            info["closure"] = "fista-search"
         init, update = fista(cfg_hyp.optim)
     elif name == "L-BFGS":
         info["closure"] = "lbfgs"

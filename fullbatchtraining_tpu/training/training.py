@@ -323,12 +323,12 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         labels = labels[:, 0]
         dev = jax.lax.axis_index(DATA_AXIS)
 
-        def block_body(carry, xs):
-            params, bn, opt_state, sloss, spreds = carry
-            blk_imgs, blk_lbls, bidx = xs
-            k = jax.random.fold_in(jax.random.fold_in(key, dev), bidx)
-            flat_imgs = blk_imgs.reshape(-1, *blk_imgs.shape[2:])
-            flat_lbls = blk_lbls.reshape(-1)
+        sam_rho = (float(hyp.optim_modification.rho)
+                   if hyp.optim_modification.name == "SAM" else None)
+
+        def block_grads(params, bn, flat_imgs, flat_lbls, k):
+            """One pmean'd + clipped block gradient (the reference's stochastic
+            closure body, training.py:257-276)."""
             (loss, (bn, correct)), grads = grad_chunk(params, bn, flat_imgs, flat_lbls, k)
             sq_norm = tree_sqnorm(grads)
             if reg_fn is not None:
@@ -336,6 +336,22 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
             grads = jax.lax.pmean(grads, DATA_AXIS)
             if hyp.grad_clip is not None:
                 grads, _, _ = tree_clip_by_norm(grads, hyp.grad_clip, 2.0)
+            return grads, loss, correct, bn, sq_norm
+
+        def block_body(carry, xs):
+            params, bn, opt_state, sloss, spreds = carry
+            blk_imgs, blk_lbls, bidx = xs
+            k = jax.random.fold_in(jax.random.fold_in(key, dev), bidx)
+            flat_imgs = blk_imgs.reshape(-1, *blk_imgs.shape[2:])
+            flat_lbls = blk_lbls.reshape(-1)
+            grads, loss, correct, bn, sq_norm = block_grads(params, bn, flat_imgs,
+                                                            flat_lbls, k)
+            if sam_rho is not None:
+                # SAM's two closure calls per block (sam.py:85-92), fused here.
+                norm = jnp.sqrt(tree_sqnorm(grads))
+                perturbed = jax.tree.map(lambda p, g: p + sam_rho / (norm + 1e-12) * g,
+                                         params, grads)
+                grads, _, _, bn, _ = block_grads(perturbed, bn, flat_imgs, flat_lbls, k)
             params, opt_state = opt_update(grads, opt_state, params, lr)
             return (params, bn, opt_state, sloss + loss, spreds + correct), sq_norm
 
@@ -487,7 +503,13 @@ def stage_epoch(bundle: DataBundle, fns: TrainFunctions, mesh: Mesh, cfg, step: 
 
     if shuffled:
         seed = (cfg.seed if cfg.seed is not None else 0) * 1_000_003 + step
-        order = np.random.default_rng(seed).permutation(len(images))
+        rng = np.random.default_rng(seed)
+        if hyp.get("sample_with_replacement", False) and jax.process_count() == 1:
+            # mini-batches drawn WITH replacement; shuffle=True, non-distributed
+            # only (reference _default_hyperparams.yaml:3, data_preparation.py)
+            order = rng.integers(0, len(images), len(images))
+        else:
+            order = rng.permutation(len(images))
         from ..data.native import gather_rows_native
 
         gathered = gather_rows_native(images, order)
@@ -579,10 +601,13 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
             stochastic_now = not cfg.hyp.train_stochastic
 
         images, labels = stage_epoch(bundle, fns, mesh, cfg, step, cache)
-        if step_override is not None:
+        if stochastic_now and fns.info["modification"] == "SAM":
+            # SAM is fused into the jitted stochastic scan (two grads/block).
+            state, metrics = fns.stochastic_step(state, images, labels)
+        elif step_override is not None:
             if stochastic_now:
                 raise NotImplementedError(
-                    "Closure optimizers / SAM run in full-batch mode "
+                    "Line-search optimizers run in full-batch mode "
                     "(set hyp.train_stochastic=False).")
             state, metrics = step_override(state, images, labels)
             if cfg.hyp.evaluate_ema:
