@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from collections import defaultdict
 from functools import partial
@@ -593,7 +594,17 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
                                 dryrun=cfg.dryrun)
     step = start_step
     train_stochastic = cfg.hyp.train_stochastic
+    # Profiling hook (SURVEY.md §5: jax.profiler replaces the reference's
+    # absent tracing): capture the first impl.trace_steps steps.
+    tracing = bool(cfg.impl.get("trace", False))
+    if tracing:
+        trace_dir = os.path.join(os.getcwd(), "jax_trace")
+        jax.profiler.start_trace(trace_dir)
+        log.info("Capturing jax.profiler trace to %s", trace_dir)
     while step < cfg.hyp.steps:
+        if tracing and step - start_step >= int(cfg.impl.get("trace_steps", 3)):
+            jax.profiler.stop_trace()
+            tracing = False
         t0 = time.time()
         stochastic_now = train_stochastic
         if (cfg.hyp.train_switch_stochastic is not None
