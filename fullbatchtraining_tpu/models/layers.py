@@ -25,12 +25,6 @@ kaiming_normal_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 torch_default_conv = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
-class Conv2d(nn.Conv):
-    """nn.Conv with torch-style integer padding and padding modes."""
-
-    pass
-
-
 def _conv(features: int, kernel_size: int = 3, stride: int = 1, padding: int = 0,
           groups: int = 1, bias: bool = False, dilation: int = 1,
           padding_mode: str = "zeros", kernel_init=kaiming_normal_out,

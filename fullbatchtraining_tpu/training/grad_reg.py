@@ -31,7 +31,6 @@ All variants couple the strength to the current learning rate as lr/4
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax

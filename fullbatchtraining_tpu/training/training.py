@@ -37,14 +37,13 @@ import logging
 import os
 import time
 from collections import defaultdict
-from functools import partial
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..data.augmentations import normalize as normalize_images
 from ..data.pipeline import DataBundle, epoch_layout, layout_epoch
