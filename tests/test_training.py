@@ -145,3 +145,25 @@ def test_stop_at_full_training_accuracy(config_dir):
     state, stats = train(model, bundle, mesh, cfg)
     assert len(stats["train_loss"]) < 200
     assert stats["train_acc"][-1] == 1.0
+
+
+def test_gradreg_sharding_invariance(config_dir):
+    """Finite-difference grad-reg under 8-device sharding matches 1-device.
+
+    Per-chunk regularization depends only on local chunk data, so identical
+    chunking must give identical regularized gradients regardless of mesh."""
+    results = {}
+    for n_dev in (1, 8):
+        cfg, _, bundle, model = _setup(config_dir, [
+            "data.augmentations_train=", "hyp.grad_reg.block_strength=0.5",
+            "hyp.optim.lr=0.4", "hyp.warmup=0"])
+        mesh = make_mesh(cfg.impl.setup, devices=np.asarray(jax.devices()[:n_dev]))
+        fns = make_train_functions(model, bundle, mesh, cfg)
+        variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                     bundle.channels)
+        state = fns.init_state(variables)
+        images, labels = stage_epoch(bundle, fns, mesh, cfg, 0, {})
+        grads, _, _ = fns.gradient_eval(state, images, labels, with_modifiers=False)
+        results[n_dev] = jax.device_get(grads)
+    for a, b in zip(jax.tree.leaves(results[1]), jax.tree.leaves(results[8])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
