@@ -69,12 +69,14 @@ def main():
 
     # The TPU tunnel's step timings are noisy; take the fastest of several
     # individually-timed steps as the honest hardware number.
+    # device_get forces a full host round-trip per step: block_until_ready is
+    # not a reliable barrier on the tunneled axon backend.
     reps = 4
     times = []
     for _ in range(reps):
         start = time.perf_counter()
         state, metrics = fns.full_step(state, images, labels)
-        jax.block_until_ready(metrics["train_loss"])
+        jax.device_get(metrics["train_loss"])
         times.append(time.perf_counter() - start)
 
     step_time = min(times)
