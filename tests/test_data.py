@@ -158,3 +158,27 @@ def test_policy_transforms_run():
         # deterministic in the seed
         out2 = apply_policy_batch(imgs, key, spec, (0.5, 0.5, 0.5), seed=1)
         np.testing.assert_array_equal(out, out2)
+
+
+def test_fused_mxu_crop_flip_semantics():
+    from fullbatchtraining_tpu.data.augmentations import random_crop_flip_mxu
+
+    imgs = np.random.default_rng(3).integers(0, 255, (8, 16, 16, 3), np.uint8)
+    # pad=0, flip_p=0 -> exact identity
+    out = np.asarray(random_crop_flip_mxu(imgs, jax.random.key(0), 16, 0, 0.0))
+    np.testing.assert_array_equal(out.astype(np.uint8), imgs)
+    # pad=0, flip_p=1 -> exact mirror
+    out = np.asarray(random_crop_flip_mxu(imgs, jax.random.key(0), 16, 0, 1.0))
+    np.testing.assert_array_equal(out.astype(np.uint8), imgs[:, :, ::-1, :])
+    # pad=2: every output must be a contiguous window of the zero-padded input
+    out = np.asarray(random_crop_flip_mxu(imgs, jax.random.key(1), 16, 2, 0.0)
+                     ).astype(np.uint8)
+    padded = np.pad(imgs, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    for i in range(8):
+        found = any(np.array_equal(out[i], padded[i, y:y+16, x:x+16])
+                    for y in range(5) for x in range(5))
+        assert found, f"image {i} is not a crop window"
+    # jit-compatible and used by the default config path
+    fn = make_augment_fn({"RandomCrop": [16, 2], "RandomHorizontalFlip": 0.5})
+    j = jax.jit(fn)(imgs, jax.random.key(2))
+    assert j.shape == imgs.shape
