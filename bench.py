@@ -31,7 +31,6 @@ def main():
     logging.basicConfig(level=logging.ERROR, stream=sys.stderr)
 
     import jax
-    import numpy as np
 
     from fullbatchtraining_tpu.config import load_config
     from fullbatchtraining_tpu.data import construct_databundle

@@ -19,7 +19,6 @@ from __future__ import annotations
 import logging
 import os
 import pickle
-import tarfile
 from pathlib import Path
 
 import numpy as np

@@ -9,7 +9,6 @@ kaiming-normal fan-out initialization to match the reference's default
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Any, Callable
 
@@ -17,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .modules import GhostBatchNorm, Skipper
+from .modules import GhostBatchNorm
 
 # torch's kaiming_normal_(mode='fan_out', nonlinearity='relu')
 kaiming_normal_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")

@@ -11,8 +11,6 @@ replicated sharding IS the broadcast, and every step function is jitted.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

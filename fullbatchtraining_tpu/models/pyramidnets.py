@@ -9,9 +9,6 @@ shortcuts, average-pool downsampling.
 
 from __future__ import annotations
 
-import math
-from typing import Callable
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -22,10 +22,8 @@ Notes vs the reference:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Sequence
+from typing import Callable, Sequence
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import avg_pool, get_layer_functions, max_pool, global_avg_pool

@@ -8,9 +8,6 @@ ImageNet heads.
 
 from __future__ import annotations
 
-from typing import Sequence
-
-import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import get_layer_functions, global_avg_pool, max_pool

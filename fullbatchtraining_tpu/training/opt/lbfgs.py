@@ -18,8 +18,6 @@ from __future__ import annotations
 
 import logging
 import math
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

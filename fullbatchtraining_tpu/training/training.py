@@ -49,7 +49,7 @@ from ..data.augmentations import normalize as normalize_images
 from ..data.pipeline import DataBundle, epoch_layout, layout_epoch
 from ..models.modules import get_loss_fn
 from ..parallel.mesh import DATA_AXIS, shard_epoch_arrays
-from .grad_reg import make_grad_regularizer, tree_add_scaled, tree_scale, tree_sqnorm
+from .grad_reg import make_grad_regularizer, tree_sqnorm
 from .optimizers import optim_interface
 from .utils import save_checkpoint, load_checkpoint
 
