@@ -21,6 +21,26 @@ plt.rcParams["font.size"] = 14
 plt.rcParams["lines.linewidth"] = 4
 
 
+def plot_2d_contour(db_path, xcoords, ycoords, key="train_loss", levels=30,
+                    log_scale=True):
+    """Contour plot of a 2D surface (viz=2d grids; the reference configures 2D
+    crunches but ships only 1D plotting - this completes the pair)."""
+    import numpy as np
+
+    positions = [(float(x), float(y)) for x in xcoords for y in ycoords]
+    landscape = load_surface(db_path, positions)
+    z = landscape[key].reshape(len(xcoords), len(ycoords)).T
+    fig, ax = plt.subplots(figsize=(6, 5))
+    values = np.log10(np.maximum(z, 1e-6)) if log_scale else z
+    contour = ax.contourf(xcoords, ycoords, values, levels=levels, cmap="viridis")
+    fig.colorbar(contour, ax=ax,
+                 label=f"log10 {key}" if log_scale else key)
+    ax.set_xlabel("x direction")
+    ax.set_ylabel("y direction")
+    fig.tight_layout()
+    return fig, landscape
+
+
 def plot_1d_loss_err_row(base_data_dir, db_names, display_names, xcoords, positions,
                          figsize=None, xmin=-1.0, xmax=1.0, loss_max=5, log=False):
     """1D loss/accuracy row plots from surface stores."""

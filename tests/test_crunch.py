@@ -10,7 +10,7 @@ from fullbatchtraining_tpu.data import construct_databundle
 from fullbatchtraining_tpu.models import construct_model, initialize_model
 from fullbatchtraining_tpu.parallel import make_mesh
 from fullbatchtraining_tpu.training.training import make_train_functions
-from fullbatchtraining_tpu.visualization import crunch, load_surface, plot_1d_loss_err_row
+from fullbatchtraining_tpu.visualization import crunch, load_surface, plot_1d_loss_err_row  # noqa: F401
 
 
 def _setup(config_dir, tmp_path, extra=()):
@@ -94,3 +94,20 @@ def test_plot_1d(config_dir, tmp_path):
     out = tmp_path / "plot.png"
     fig.savefig(out)
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_plot_2d_contour(config_dir, tmp_path):
+    cfg, mesh, bundle, model, fns, state = _setup(
+        config_dir, tmp_path,
+        extra=["viz=2d", "viz.coordinates.x.num=3", "viz.coordinates.y.num=3",
+               "viz.vmap_positions=4"])
+    store, positions = crunch(model, bundle, mesh, cfg, fns, state)
+    from fullbatchtraining_tpu.visualization.plotting import plot_2d_contour
+
+    xcoords = np.linspace(-1, 1, 3)
+    ycoords = np.linspace(-1, 1, 3)
+    fig, landscape = plot_2d_contour(store.path, xcoords, ycoords)
+    out = tmp_path / "surface2d.png"
+    fig.savefig(out)
+    assert out.exists() and out.stat().st_size > 0
+    assert np.isfinite(landscape["train_loss"]).all()
