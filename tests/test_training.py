@@ -167,3 +167,39 @@ def test_gradreg_sharding_invariance(config_dir):
         results[n_dev] = jax.device_get(grads)
     for a, b in zip(jax.tree.leaves(results[1]), jax.tree.leaves(results[8])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
+
+
+def test_checkpoint_resume_is_equivalent(config_dir, tmp_path, monkeypatch):
+    """train(4 steps) == train(2) -> save -> load -> train(2 more), exactly."""
+    monkeypatch.chdir(tmp_path)
+
+    def run(steps, ckpt=None, resume=False):
+        # constant lr: the cosine schedule depends on hyp.steps, which differs
+        # between the 2-step and 4-step runs by construction
+        overrides = [f"hyp.steps={steps}", "data.augmentations_train=",
+                     "hyp.optim.lr=0.05", "hyp.scheduler=none"]
+        if ckpt:
+            overrides += [f"impl.checkpoint.name={ckpt}",
+                          "impl.checkpoint.save_every_nth_step=1"]
+        cfg, mesh, bundle, model = _setup(config_dir, overrides)
+        cfg.original_cwd = str(tmp_path)
+        return train(model, bundle, mesh, cfg)
+
+    state_straight, stats_straight = run(4)
+    state_a, _ = run(2, ckpt="resume.ckpt")
+    state_b, stats_b = run(4, ckpt="resume.ckpt")  # resumes from step 2
+    assert int(state_b.step) == 4
+    for a, b in zip(jax.tree.leaves(state_straight.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_training_is_deterministic(config_dir):
+    """Identical seeds produce identical loss traces (PRNG-keyed augmentation)."""
+    traces = []
+    for _ in range(2):
+        cfg, mesh, bundle, model = _setup(config_dir, ["hyp.steps=3", "seed=11"])
+        state, stats = train(model, bundle, mesh, cfg)
+        traces.append(stats["train_loss"])
+    assert traces[0] == traces[1]
