@@ -65,6 +65,12 @@ def construct_databundle(cfg_data, cfg_impl=None, cfg_hyp=None, dryrun: bool = F
     if use_db:
         db_dir = bake_dataset(train, cfg_data, cfg_data.db, seed=seed)
         baked = BakedDataset(db_dir)
+        if cfg_data.db.get("temporary_database", False):
+            # delete the baked store when the process exits
+            # (reference lmdb_datasets.py temporary_database semantics)
+            import atexit
+
+            atexit.register(baked.cleanup)
         # Fixed-augmentation mode: the train set becomes the N x baked epochs
         # unless semi-stochastic sampling draws per-step rounds (training layer).
         train = baked.flat()

@@ -182,3 +182,26 @@ def test_fused_mxu_crop_flip_semantics():
     fn = make_augment_fn({"RandomCrop": [16, 2], "RandomHorizontalFlip": 0.5})
     j = jax.jit(fn)(imgs, jax.random.key(2))
     assert j.shape == imgs.shape
+
+
+def test_temporary_database_cleanup(config_dir, tmp_path):
+    import subprocess, sys
+
+    script = f"""
+import sys; sys.path.insert(0, '/root/repo')
+import jax; jax.config.update('jax_platforms', 'cpu')
+from fullbatchtraining_tpu.config import load_config
+from fullbatchtraining_tpu.data import construct_databundle
+cfg = load_config('/root/repo/config', overrides=[
+    'data.size=32', 'data.path={tmp_path}/none', 'data.db=baked',
+    'data.db.path={tmp_path}/tempdb', 'data.db.rounds=1',
+    'data.db.temporary_database=True'])
+bundle = construct_databundle(cfg.data)
+print('DB_DIR=' + str(bundle.baked.dir))
+"""
+    out = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                         text=True, timeout=240)
+    assert out.returncode == 0, out.stderr
+    db_dir = [l for l in out.stdout.splitlines() if l.startswith("DB_DIR=")][0][7:]
+    import os
+    assert not os.path.exists(db_dir)  # removed at interpreter exit
