@@ -119,10 +119,9 @@ def crunch(model, bundle, mesh, cfg, fns, state, stats=None):
     ycoords = np.linspace(viz.coordinates.y.min, viz.coordinates.y.max, viz.coordinates.y.num)
     positions = [(float(x), float(y)) for x in xcoords for y in ycoords]
 
-    done = store.results()
-    todo = [p for p in positions if store._key(p) not in done]
-    log.info("Crunching %d of %d positions (%d cached).", len(todo), len(positions),
-             len(positions) - len(todo))
+    todo = store.pending(positions)
+    log.info("Crunching %d of %d positions (%d cached/claimed).", len(todo),
+             len(positions), len(positions) - len(todo))
     if not todo:
         return store, positions
 
@@ -143,6 +142,8 @@ def crunch(model, bundle, mesh, cfg, fns, state, stats=None):
     datapoints = num_blocks * chunks * sub * n_dev
     for start in range(0, len(todo), group):
         batch_positions = todo[start:start + group]
+        if jax.process_index() == 0:
+            store.claim(batch_positions)  # cooperating jobs skip these
         pad = group - len(batch_positions)
         eval_positions = batch_positions + [batch_positions[-1]] * pad
         t0 = time.time()

@@ -81,13 +81,45 @@ class SurfaceStore:
                 if not line.strip():
                     continue
                 row = json.loads(line)
-                out[self._key(row["position"])] = row
+                key = self._key(row["position"])
+                if row.get("claim"):
+                    out.setdefault(key, row)  # claims never shadow results
+                else:
+                    out[key] = row
         return out
 
     def record(self, position, **values):
         row = {"position": [float(position[0]), float(position[1])], **values}
         with open(self.results_file, "a") as handle:
             handle.write(json.dumps(row) + "\n")
+
+    def claim(self, positions, ttl: float = 3600.0):
+        """Mark positions as in-progress so cooperating jobs skip them
+        (the reference's LMDB placeholder rows, crunch.py:156-158). Stale
+        claims (older than ttl) are ignored by pending()."""
+        import time
+
+        now = time.time()
+        with open(self.results_file, "a") as handle:
+            for position in positions:
+                row = {"position": [float(position[0]), float(position[1])],
+                       "claim": True, "ts": now}
+                handle.write(json.dumps(row) + "\n")
+
+    def pending(self, positions, ttl: float = 3600.0) -> list:
+        """Positions with no result and no fresh claim."""
+        import time
+
+        now = time.time()
+        done = self.results()
+        out = []
+        for position in positions:
+            row = done.get(self._key(position))
+            if row is None:
+                out.append(position)
+            elif row.get("claim") and now - row.get("ts", 0) > ttl:
+                out.append(position)  # stale claim: the other job died
+        return out
 
 
 def load_surface(db_path, positions) -> dict:

@@ -111,3 +111,20 @@ def test_plot_2d_contour(config_dir, tmp_path):
     fig.savefig(out)
     assert out.exists() and out.stat().st_size > 0
     assert np.isfinite(landscape["train_loss"]).all()
+
+
+def test_crunch_claims_enable_work_sharing(config_dir, tmp_path):
+    """A fresh claim makes other jobs skip the position; results override
+    claims; stale claims are retried (reference placeholder rows)."""
+    from fullbatchtraining_tpu.visualization.database import SurfaceStore
+
+    store = SurfaceStore(tmp_path / "shared")
+    positions = [(0.0, 0.0), (0.5, 0.0), (1.0, 0.0)]
+    store.claim(positions[:1])
+    assert store.pending(positions) == positions[1:]
+    # a result for a claimed position overrides the claim
+    store.record(positions[0], train_loss=1.0, train_acc=0.5, full_loss=1.1)
+    assert store.results()["0.000000,0.000000"]["train_loss"] == 1.0
+    # stale claims are retried
+    store.claim(positions[1:2])
+    assert store.pending(positions[1:2], ttl=-1.0) == positions[1:2]
