@@ -119,10 +119,12 @@ def crunch(model, bundle, mesh, cfg, fns, state, stats=None):
     ycoords = np.linspace(viz.coordinates.y.min, viz.coordinates.y.max, viz.coordinates.y.num)
     positions = [(float(x), float(y)) for x in xcoords for y in ycoords]
 
-    todo = store.pending(positions)
+    claim_ttl = float(viz.get("claim_ttl", 3600.0))
+    todo = store.pending(positions, ttl=claim_ttl)
     log.info("Crunching %d of %d positions (%d cached/claimed).", len(todo),
              len(positions), len(positions) - len(todo))
     if not todo:
+        _report_completion(store, positions)
         return store, positions
 
     n_dev = fns.num_devices
@@ -169,7 +171,20 @@ def crunch(model, bundle, mesh, cfg, fns, state, stats=None):
                                     (time.time() - t0) / len(batch_positions), position))
         if cfg.dryrun:
             break
+    _report_completion(store, positions)
     return store, positions
+
+
+def _report_completion(store, positions):
+    results = store.results()
+    computed = sum(1 for p in positions
+                   if (row := results.get(store._key(p))) and not row.get("claim"))
+    if computed < len(positions):
+        log.warning("Surface has %d/%d computed positions; %d are claimed by "
+                    "other jobs or missing (set viz.claim_ttl=0 to retake).",
+                    computed, len(positions), len(positions) - computed)
+    else:
+        log.info("Surface complete: all %d positions computed.", len(positions))
 
 
 def status_message(train_loss, train_acc, full_loss, time_stamp, position):
