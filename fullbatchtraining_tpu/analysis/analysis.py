@@ -144,8 +144,10 @@ def analyze(model, bundle, mesh, cfg, fns, state, stats, grads=None):
             log.info("Gradient SNR is %g", snr)
 
         if a.compute_gradient_noise_scale:
-            # McCandlish et al. simple noise scale (analysis.py:88-97)
-            b_local = bundle.batch_size // a_chunks
+            # McCandlish et al. simple noise scale (analysis.py:88-97).
+            # b_local is the ACTUAL per-chunk sample count: epoch_layout may
+            # shrink the requested chunk size to a divisor of batch_size.
+            b_local = sub
             b_full = max(len(bundle.train), cfg.data.size)
             g_local = float(squared_norm)
             g_full = float(jnp.sum(grad_mean**2))

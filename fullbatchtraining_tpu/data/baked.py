@@ -117,6 +117,7 @@ def _bake_jax(train, aug_cfg, cfg_db, rounds, seed, images, labels):
     n = len(train.images)
     rng = np.random.default_rng(seed)
     key = jax.random.key(seed)
+    fill_mean = train_mean(train) if policies else None  # constant; hoisted
     for r in range(rounds):
         order = rng.permutation(n) if cfg_db.shuffle_while_writing else np.arange(n)
         clean = r == 0 and bool(cfg_db.first_round_clean)
@@ -127,7 +128,7 @@ def _bake_jax(train, aug_cfg, cfg_db, rounds, seed, images, labels):
                 for pkey, spec in policies:
                     from .policy_augment import apply_policy_batch
 
-                    batch = apply_policy_batch(batch, pkey, spec, train_mean(train),
+                    batch = apply_policy_batch(batch, pkey, spec, fill_mean,
                                                seed=seed + r * 100_000 + start)
                 batch_key = jax.random.fold_in(key, r * 100_000 + start)
                 out = np.asarray(augment(batch, batch_key))
@@ -155,9 +156,13 @@ class BakedDataset:
         return ArrayDataset(np.asarray(self.images[r]), self.labels[r], self.classes)
 
     def flat(self) -> ArrayDataset:
-        """All rounds concatenated: the N x dataset for full-batch training."""
+        """All rounds concatenated: the N x dataset for full-batch training.
+
+        Stays a lazy memmap view (reshape of the on-disk tensor) - pages are
+        read only when sliced/uploaded, so N x ImageNet-scale stores don't
+        materialize in host RAM."""
         n = self.meta["size"]
-        imgs = np.asarray(self.images).reshape(self.rounds * n, *self.meta["shape"])
+        imgs = self.images.reshape(self.rounds * n, *self.meta["shape"])
         return ArrayDataset(imgs, self.labels.reshape(-1), self.classes)
 
     def cleanup(self):

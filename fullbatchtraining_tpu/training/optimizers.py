@@ -229,7 +229,7 @@ def optim_interface(params, cfg_hyp):
         from .opt.lars import wrap_lars
         update = wrap_lars(update, trust_coefficient=cfg_hyp.optim_modification.trust_coefficient,
                            clip=(mod == "LARC"), eps=cfg_hyp.optim_modification.eps,
-                           weight_decay=weight_decay)
+                           weight_decay=weight_decay, mask=mask)
     # SAM wraps at the step level (two full gradient evaluations) in training.py.
 
     return init, update, schedule, info

@@ -128,23 +128,29 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
             return normalize_images(images, mean, std, compute_dtype)
         return images.astype(compute_dtype) / 255.0
 
-    def forward(params, batch_stats, x, train):
+    def forward(params, batch_stats, x, train, key=None):
         variables = {"params": jax.tree.map(lambda p: p.astype(compute_dtype), params)}
+        # stochastic-layer rngs (StochDepth/Dropout) for train-mode passes
+        rngs = None
+        if train and key is not None:
+            rngs = {"stochdepth": jax.random.fold_in(key, 101),
+                    "dropout": jax.random.fold_in(key, 102)}
         if batch_stats:
             variables["batch_stats"] = batch_stats
             if train:
-                logits, upd = model.apply(variables, x, train=True, mutable=["batch_stats"])
+                logits, upd = model.apply(variables, x, train=True,
+                                          mutable=["batch_stats"], rngs=rngs)
                 return logits.astype(jnp.float32), upd["batch_stats"]
             return model.apply(variables, x, train=False).astype(jnp.float32), batch_stats
         logits = model.apply(variables, x, train=train,
-                             mutable=["batch_stats"] if train else False)
+                             mutable=["batch_stats"] if train else False, rngs=rngs)
         if train:
             logits = logits[0]
         return logits.astype(jnp.float32), batch_stats
 
     def chunk_loss(params, batch_stats, images, labels, key):
         x = prepare_inputs(images, key)
-        logits, new_bn = forward(params, batch_stats, x, train=True)
+        logits, new_bn = forward(params, batch_stats, x, train=True, key=key)
         loss = criterion(logits, labels)
         correct = (logits.argmax(-1) == labels).astype(jnp.float32).sum()
         return loss, (new_bn, correct)
@@ -227,14 +233,14 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         if hyp.grad_reg.acc_strength != 0:
             full_loss += lr / 4 * hyp.grad_reg.acc_strength * tree_sqnorm(pre_grads)
 
-        # The single collective of the step (training/utils.py:31-41):
-        avg = jax.lax.psum(avg, DATA_AXIS)
-        package = jax.lax.psum(
-            jnp.stack([step_loss, step_preds, full_loss, full_grad_norm]), DATA_AXIS)
-        bn = jax.lax.pmean(bn, DATA_AXIS) if bn else bn
-        clipped_batches = jax.lax.psum(clipped_flags.sum(), DATA_AXIS)
+        # The single coalesced collective of the step (grads + BN stats +
+        # scalar stats in ONE psum over a pytree; training/utils.py:31-41):
+        scalars = jnp.stack([step_loss, step_preds, full_loss, full_grad_norm,
+                             clipped_flags.sum()])
+        avg, bn_sum, package = jax.lax.psum((avg, bn, scalars), DATA_AXIS)
+        bn = jax.tree.map(lambda b: b / n_dev, bn_sum) if bn else bn
 
-        step_loss, step_preds, full_loss, full_grad_norm = package
+        step_loss, step_preds, full_loss, full_grad_norm, clipped_batches = package
         metrics = {
             "train_loss": step_loss / num_blocks / n_dev,
             "train_acc": step_preds / (num_blocks * chunks * sub * n_dev),
@@ -605,9 +611,15 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
             jax.profiler.stop_trace()
             tracing = False
         t0 = time.time()
+        # "Switch from stochastic to non-stochastic or vice-versa after this
+        # many steps" (_default_hyperparams.yaml:5): run the configured mode
+        # until the switch step, the inverted mode afterwards. (The
+        # reference's condition `switch >= step` is true from step 0 and its
+        # variable latches, inverting the ENTIRE run - training.py:222-223;
+        # we implement the documented intent instead.)
         stochastic_now = train_stochastic
         if (cfg.hyp.train_switch_stochastic is not None
-                and cfg.hyp.train_switch_stochastic >= step):
+                and step >= cfg.hyp.train_switch_stochastic):
             stochastic_now = not cfg.hyp.train_stochastic
 
         images, labels = stage_epoch(bundle, fns, mesh, cfg, step, cache)
@@ -690,5 +702,8 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
 
         if cfg.dryrun:
             break
+
+    if tracing:  # loop ended before trace_steps (dryrun/early stop): flush
+        jax.profiler.stop_trace()
 
     return state, stats

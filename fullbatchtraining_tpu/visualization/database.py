@@ -82,8 +82,12 @@ class SurfaceStore:
                     continue
                 row = json.loads(line)
                 key = self._key(row["position"])
+                existing = out.get(key)
                 if row.get("claim"):
-                    out.setdefault(key, row)  # claims never shadow results
+                    # claims never shadow results; newer claims refresh older
+                    if existing is None or (existing.get("claim")
+                                            and row.get("ts", 0) >= existing.get("ts", 0)):
+                        out[key] = row
                 else:
                     out[key] = row
         return out
@@ -93,10 +97,10 @@ class SurfaceStore:
         with open(self.results_file, "a") as handle:
             handle.write(json.dumps(row) + "\n")
 
-    def claim(self, positions, ttl: float = 3600.0):
+    def claim(self, positions):
         """Mark positions as in-progress so cooperating jobs skip them
         (the reference's LMDB placeholder rows, crunch.py:156-158). Stale
-        claims (older than ttl) are ignored by pending()."""
+        claims (older than pending()'s ttl) are ignored there."""
         import time
 
         now = time.time()

@@ -203,3 +203,26 @@ def test_training_is_deterministic(config_dir):
         state, stats = train(model, bundle, mesh, cfg)
         traces.append(stats["train_loss"])
     assert traces[0] == traces[1]
+
+
+def test_stochastic_layers_get_rngs(config_dir):
+    """Models with Dropout/StochDepth train without InvalidRngError
+    (regression: forward() must thread stochastic-layer rngs)."""
+    from flax import linen as nn
+
+    class DropoutNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = x.reshape(x.shape[0], -1)
+            x = nn.Dropout(0.3, deterministic=not train)(x)
+            return nn.Dense(10)(x)
+
+    cfg, mesh, bundle, _ = _setup(config_dir, ["data.augmentations_train="])
+    model = DropoutNet()
+    fns = make_train_functions(model, bundle, mesh, cfg)
+    variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                 bundle.channels)
+    state = fns.init_state(variables)
+    images, labels = stage_epoch(bundle, fns, mesh, cfg, 0, {})
+    _, _, metrics = fns.gradient_eval(state, images, labels)
+    assert np.isfinite(float(metrics["train_loss"]))
