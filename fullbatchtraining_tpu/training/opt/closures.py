@@ -247,6 +247,38 @@ _DRIVERS = {
 }
 
 
+def make_stochastic_closure_step(model, bundle, mesh, cfg, fns, kind: str):
+    """Per-block closure optimization in stochastic mode.
+
+    Mirrors the reference's stochastic path, where optimizer.step(closure)
+    runs once per mini-batch block with the closure re-evaluating that block
+    (training.py:241-286). A single-block TrainFunctions provides the jitted
+    per-block gradient program; the line-search driver runs per block, with
+    the step counter (and thus the lr schedule) advancing once per epoch.
+    """
+    import copy
+
+    from ..training import make_train_functions
+
+    block_cfg = copy.deepcopy(cfg)
+    block_cfg.dryrun = True  # layout trick: exactly one block per program
+    block_fns = make_train_functions(model, bundle, mesh, block_cfg)
+    driver_step = make_closure_step(block_fns, cfg, kind)
+    num_blocks = fns.layout[0]
+
+    def step(state, images, labels):
+        epoch_step = state.step
+        metrics = None
+        for block in range(num_blocks):
+            state, metrics = driver_step(state, images[block:block + 1],
+                                         labels[block:block + 1])
+            state = state.replace(step=epoch_step)  # lr fixed within the epoch
+        state = state.replace(step=epoch_step + 1)
+        return state, metrics
+
+    return step
+
+
 def make_closure_step(fns, cfg, kind: str):
     if kind == "lbfgs":
         from .lbfgs import LBFGSDriver

@@ -628,10 +628,14 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
             state, metrics = fns.stochastic_step(state, images, labels)
         elif step_override is not None:
             if stochastic_now:
-                raise NotImplementedError(
-                    "Line-search optimizers run in full-batch mode "
-                    "(set hyp.train_stochastic=False).")
-            state, metrics = step_override(state, images, labels)
+                # per-block closures (reference training.py:241-286)
+                if "stochastic_closure" not in cache:
+                    from .opt.closures import make_stochastic_closure_step
+                    cache["stochastic_closure"] = make_stochastic_closure_step(
+                        model, bundle, mesh, cfg, fns, fns.info["closure"])
+                state, metrics = cache["stochastic_closure"](state, images, labels)
+            else:
+                state, metrics = step_override(state, images, labels)
             if cfg.hyp.evaluate_ema:
                 state = fns.ema_step(state)
         else:

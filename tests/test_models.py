@@ -32,14 +32,16 @@ def _forward(model, variables, batch=2, pixels=32, channels=3, train=True):
     return model.apply(variables, x, train=False), None
 
 
+# Heavy models run at 16px: same code paths, ~4x less CPU compile time.
 @pytest.mark.parametrize(
-    "name", ["resnet18", "resnet20", "resnet50", "vgg11", "vgg16", "densenet121",
-             "pyramidnet110", "nfn", "linear"])
-def test_forward_shapes(config_dir, name):
-    model, variables = _build(config_dir, name)
-    out, _ = _forward(model, variables)
+    "name,pixels", [("resnet18", 32), ("resnet20", 32), ("resnet50", 16),
+                    ("vgg11", 32), ("vgg16", 32), ("densenet121", 16),
+                    ("pyramidnet110", 16), ("nfn", 16), ("linear", 32)])
+def test_forward_shapes(config_dir, name, pixels):
+    model, variables = _build(config_dir, name, pixels=pixels)
+    out, _ = _forward(model, variables, pixels=pixels)
     assert out.shape == (2, 10)
-    out_eval = model.apply(variables, jnp.zeros((2, 32, 32, 3)), train=False)
+    out_eval = model.apply(variables, jnp.zeros((2, pixels, pixels, 3)), train=False)
     assert out_eval.shape == (2, 10)
     assert np.isfinite(np.asarray(out)).all()
 

@@ -226,3 +226,14 @@ def test_stochastic_layers_get_rngs(config_dir):
     images, labels = stage_epoch(bundle, fns, mesh, cfg, 0, {})
     _, _, metrics = fns.gradient_eval(state, images, labels)
     assert np.isfinite(float(metrics["train_loss"]))
+
+
+def test_stochastic_line_search(config_dir):
+    """Line-search optimizers run per-block closures in stochastic mode
+    (reference training.py:241-286)."""
+    cfg, mesh, bundle, model = _setup(config_dir, [
+        "hyp=base_sgd", "hyp.steps=2", "hyp.optim.line_search=wolfe",
+        "data.augmentations_train="])
+    state, stats = train(model, bundle, mesh, cfg)
+    assert int(state.step) == 2
+    assert np.isfinite(stats["train_loss"]).all()
