@@ -189,3 +189,30 @@ def test_lars_trust_ratio():
     update(grads, None, params, 0.1)
     # adaptive lr = 0.02*||p||/||g|| = 0.02*4/2 = 0.04 -> grads scaled by 0.04
     np.testing.assert_allclose(np.asarray(captured["grads"]["w"]), 0.04, rtol=1e-5)
+
+
+@pytest.mark.skipif(not __import__("pathlib").Path(
+    "/root/reference/fullbatch/training/additional_optimizers/scheduler.py").exists(),
+    reason="reference repo not mounted")
+def test_warmup_schedule_matches_reference_oracle():
+    """lr(t) parity with the reference's GradualWarmupScheduler chained onto
+    CosineAnnealingLR (the fb2/gradreg recipe: warmup 400 + cosine-4000)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_sched",
+        "/root/reference/fullbatch/training/additional_optimizers/scheduler.py")
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+
+    p = [torch.nn.Parameter(torch.zeros(1))]
+    opt = torch.optim.SGD(p, lr=0.8)
+    after = torch.optim.lr_scheduler.CosineAnnealingLR(opt, 4000, eta_min=0.0)
+    ref = module.GradualWarmupScheduler(opt, multiplier=1.0, total_epoch=400,
+                                        after_scheduler=after)
+    mine = make_lr_schedule(_hyp("cosine-4000", steps=3000, warmup=400, lr=0.8))
+    for step in range(1200):
+        np.testing.assert_allclose(float(mine(step)), opt.param_groups[0]["lr"],
+                                   rtol=5e-4, atol=1e-7)
+        opt.step()
+        ref.step()
