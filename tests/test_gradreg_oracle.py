@@ -1,0 +1,128 @@
+"""Golden parity: our gradient regularizer vs the reference GradRegularizer.
+
+Loads the reference's modules.py (torch-only, read-only oracle, skipped when
+the reference repo is not mounted), builds a tiny linear classifier with
+identical weights in torch and jax, and compares the regularized gradients of
+every runnable implementation variant to float tolerance. This validates the
+lr/4 coupling, the darts eps rule, and the FD/central/autograd formulas
+against the actual reference code rather than a re-derivation.
+"""
+
+import importlib.util
+import pathlib
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF_MODULES = pathlib.Path("/root/reference/fullbatch/models/modules.py")
+
+pytestmark = pytest.mark.skipif(not REF_MODULES.exists(),
+                                reason="reference repo not mounted")
+
+
+def _patch_foreach_for_modern_torch():
+    """The reference targets torch 1.9, where _foreach_add_ accepted a 0-d
+    tensor alpha (used for the darts eps, modules.py:226). torch 2.x requires
+    a python scalar; shim it so the oracle runs unmodified."""
+    import torch
+
+    for name in ("_foreach_add_", "_foreach_sub_"):
+        original = getattr(torch, name)
+        if getattr(original, "_fbt_patched", False):
+            continue
+
+        def patched(tensors, others, alpha=1, _orig=original):
+            if isinstance(alpha, torch.Tensor):
+                alpha = alpha.item()
+            # torch 1.9 permitted in-place foreach on grad-requiring leaves
+            with torch.no_grad():
+                return _orig(tensors, others, alpha=alpha)
+
+        patched._fbt_patched = True
+        setattr(torch, name, patched)
+
+
+def _load_ref_modules():
+    _patch_foreach_for_modern_torch()
+    pkg = types.ModuleType("refmodels2")
+    pkg.__path__ = [str(REF_MODULES.parent)]
+    sys.modules["refmodels2"] = pkg
+    spec = importlib.util.spec_from_file_location("refmodels2.modules", REF_MODULES)
+    module = importlib.util.module_from_spec(spec)
+    module.__package__ = "refmodels2"
+    sys.modules["refmodels2.modules"] = module
+    spec.loader.exec_module(module)
+    return module
+
+
+@pytest.mark.parametrize("implementation,block,acc", [
+    ("forward-differences", 0.5, 0.0),
+    ("forward-differences", 0.5, 0.3),
+    ("forward-differences-legacy", 0.5, 0.0),
+    ("central-differences", 0.5, 0.0),
+    ("autograd", 0.5, 0.0),
+    ("autograd-pen", 0.5, 0.0),
+    ("autograd-pen", 0.5, 0.3),
+])
+def test_gradreg_matches_reference_oracle(implementation, block, acc):
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from fullbatchtraining_tpu.config import from_dict
+    from fullbatchtraining_tpu.training.grad_reg import make_grad_regularizer
+
+    ref = _load_ref_modules()
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(5, 12)).astype(np.float32)  # torch Linear: (out, in)
+    b = rng.normal(size=(5,)).astype(np.float32)
+    inputs = rng.normal(size=(8, 12)).astype(np.float32)
+    labels = rng.integers(0, 5, 8)
+    pre = {"w": jnp.asarray(rng.normal(size=(12, 5)), jnp.float32),
+           "b": jnp.asarray(rng.normal(size=(5,)), jnp.float32)}
+    lr, eps = 0.8, 1e-2
+
+    # ---- reference side -------------------------------------------------
+    tmodel = torch.nn.Linear(12, 5)
+    with torch.no_grad():
+        tmodel.weight.copy_(torch.tensor(w))
+        tmodel.bias.copy_(torch.tensor(b))
+    topt = torch.optim.SGD(tmodel.parameters(), lr=lr)
+    tloss = torch.nn.CrossEntropyLoss()
+    reg = ref.GradRegularizer(tmodel, topt, tloss, norm=2, block_strength=block,
+                              acc_strength=acc, eps=eps, implementation=implementation)
+    x = torch.tensor(inputs)
+    y = torch.tensor(labels, dtype=torch.long)
+    out = tloss(tmodel(x), y)
+    tgrads = list(torch.autograd.grad(out, tmodel.parameters(),
+                                      create_graph=reg.create_graph))
+    # torch params iterate (weight, bias); pre_grads in the same order
+    tpre = [torch.tensor(np.asarray(pre["w"]).T), torch.tensor(np.asarray(pre["b"]))] \
+        if acc else None
+    tref = reg(tgrads, x, y, tpre)
+    ref_w = tref[0].detach().numpy().T  # (out,in) -> (in,out)
+    ref_b = tref[1].detach().numpy()
+
+    # ---- our side --------------------------------------------------------
+    params = {"w": jnp.asarray(w.T), "b": jnp.asarray(b)}
+
+    def loss_fn(p, x_, y_):
+        logits = x_ @ p["w"] + p["b"]
+        logp = jax.nn.log_softmax(logits)
+        return -logp[jnp.arange(len(y_)), y_].mean()
+
+    def grad_fn(p, batch_stats, images, labels_, key):
+        return jax.grad(loss_fn)(p, images, labels_)
+
+    cfg = from_dict({"norm": 2, "block_strength": block, "acc_strength": acc,
+                     "eps": eps, "implementation": implementation})
+    reg_fn = make_grad_regularizer(cfg, grad_fn)
+    grads = grad_fn(params, {}, jnp.asarray(inputs), jnp.asarray(labels), None)
+    ours = reg_fn(grads, params, {}, jnp.asarray(inputs), jnp.asarray(labels),
+                  pre if acc else None, lr, jax.random.key(0))
+
+    np.testing.assert_allclose(np.asarray(ours["w"]), ref_w, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ours["b"]), ref_b, rtol=2e-3, atol=2e-4)
