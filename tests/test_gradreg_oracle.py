@@ -126,3 +126,99 @@ def test_gradreg_matches_reference_oracle(implementation, block, acc):
 
     np.testing.assert_allclose(np.asarray(ours["w"]), ref_w, rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(ours["b"]), ref_b, rtol=2e-3, atol=2e-4)
+
+
+def test_losses_match_reference_oracle():
+    import torch
+
+    import jax.numpy as jnp
+
+    from fullbatchtraining_tpu.models.modules import (
+        incorrect_cross_entropy,
+        label_smooth_cross_entropy,
+        maxup_loss,
+    )
+
+    ref = _load_ref_modules()
+    rng = np.random.default_rng(3)
+    logits = rng.normal(size=(20, 7)).astype(np.float32)
+    labels = rng.integers(0, 7, 20)
+    tl, ty = torch.tensor(logits), torch.tensor(labels, dtype=torch.long)
+
+    for smoothing in (0.0, 0.1):
+        ref_val = float(ref.LabelSmoothCrossEntropyLoss(smoothing=smoothing)(tl, ty))
+        ours = float(label_smooth_cross_entropy(jnp.asarray(logits),
+                                                jnp.asarray(labels), smoothing))
+        np.testing.assert_allclose(ours, ref_val, rtol=1e-5)
+
+        ref_val = float(ref.IncorrectCrossEntropyLoss(smoothing=smoothing)(tl, ty))
+        ours = float(incorrect_cross_entropy(jnp.asarray(logits),
+                                             jnp.asarray(labels), smoothing))
+        np.testing.assert_allclose(ours, ref_val, rtol=1e-5)
+
+    # Maxup at the reference's hardcoded ntrials=10 (its arg is ignored)
+    logits10 = rng.normal(size=(30, 7)).astype(np.float32)
+    labels10 = rng.integers(0, 7, 30)
+    ref_val = float(ref.MaxupLoss(ntrials=10)(torch.tensor(logits10),
+                                              torch.tensor(labels10, dtype=torch.long)))
+    ours = float(maxup_loss(jnp.asarray(logits10), jnp.asarray(labels10), ntrials=10))
+    np.testing.assert_allclose(ours, ref_val, rtol=1e-5)
+
+
+def test_ghostnorm_output_matches_reference_train_mode():
+    """Vectorized GhostBatchNorm == the reference's sequential ghost norm for
+    fresh (default) affine parameters in train mode."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from fullbatchtraining_tpu.models.modules import GhostBatchNorm
+
+    ref = _load_ref_modules()
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(128, 4, 4, 6)).astype(np.float32)  # NHWC
+
+    tmod = ref.SequentialGhostNorm(6, virtual_batch_size=64)
+    tmod.train()
+    with torch.no_grad():
+        ref_out = tmod(torch.tensor(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+
+    gn = GhostBatchNorm(channels=6, virtual_batch_size=64)
+    variables = gn.init(jax.random.key(0), jnp.asarray(x), train=True)
+    ours, _ = gn.apply(variables, jnp.asarray(x), train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=2e-4, atol=2e-5)
+
+
+def test_wsconv_matches_reference_oracle():
+    import importlib.util
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from fullbatchtraining_tpu.models.layers import WSConv2d
+
+    _load_ref_modules()
+    spec = importlib.util.spec_from_file_location(
+        "refmodels2.nfnets", REF_MODULES.parent / "nfnets.py")
+    nf = importlib.util.module_from_spec(spec)
+    nf.__package__ = "refmodels2"
+    sys.modules["refmodels2.nfnets"] = nf
+    spec.loader.exec_module(nf)
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 9, 9, 4)).astype(np.float32)
+    tconv = nf.WSConv2D(4, 8, kernel_size=3, stride=1, padding=1)
+    with torch.no_grad():
+        tout = tconv(torch.tensor(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+
+    conv = WSConv2d(features=8, kernel_size=3, stride=1, padding=1)
+    variables = conv.init(jax.random.key(0), jnp.asarray(x))
+    variables = {"params": {
+        "kernel": jnp.asarray(tconv.weight.detach().numpy().transpose(2, 3, 1, 0)),
+        "gain": jnp.asarray(tconv.gain.detach().numpy().reshape(-1)),
+        "bias": jnp.asarray(tconv.bias.detach().numpy()),
+    }}
+    ours = conv.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), tout, rtol=2e-4, atol=2e-5)
