@@ -247,33 +247,49 @@ _DRIVERS = {
 }
 
 
+class _BlockFns:
+    """TrainFunctions facade whose gradient_eval is the per-block stochastic
+    closure program (pmean'd block gradient, grad-reg with pre_grads=None,
+    2-norm clip only - reference training.py:257-276), keyed by the current
+    block index so augmentation/dropout draws differ per block."""
+
+    def __init__(self, fns):
+        self._fns = fns
+        self.schedule = fns.schedule
+        self.bidx = 0
+
+    def gradient_eval(self, state, images, labels, with_modifiers=True):
+        return self._fns.block_gradient_eval(state, images, labels, self.bidx)
+
+
 def make_stochastic_closure_step(model, bundle, mesh, cfg, fns, kind: str):
     """Per-block closure optimization in stochastic mode.
 
     Mirrors the reference's stochastic path, where optimizer.step(closure)
     runs once per mini-batch block with the closure re-evaluating that block
-    (training.py:241-286). A single-block TrainFunctions provides the jitted
-    per-block gradient program; the line-search driver runs per block, with
-    the step counter (and thus the lr schedule) advancing once per epoch.
+    (training.py:241-286). The line-search driver runs per block against the
+    per-block gradient program; the step counter (and thus the lr schedule)
+    advances once per epoch; epoch metrics aggregate over all blocks.
     """
-    import copy
-
-    from ..training import make_train_functions
-
-    block_cfg = copy.deepcopy(cfg)
-    block_cfg.dryrun = True  # layout trick: exactly one block per program
-    block_fns = make_train_functions(model, bundle, mesh, block_cfg)
+    block_fns = _BlockFns(fns)
     driver_step = make_closure_step(block_fns, cfg, kind)
     num_blocks = fns.layout[0]
 
     def step(state, images, labels):
         epoch_step = state.step
-        metrics = None
+        loss_sum, acc_sum = 0.0, 0.0
+        metrics = {}
         for block in range(num_blocks):
+            block_fns.bidx = block
             state, metrics = driver_step(state, images[block:block + 1],
                                          labels[block:block + 1])
             state = state.replace(step=epoch_step)  # lr fixed within the epoch
+            loss_sum += float(metrics["train_loss"])
+            acc_sum += float(metrics["train_acc"])
         state = state.replace(step=epoch_step + 1)
+        metrics = dict(metrics)
+        metrics["train_loss"] = loss_sum / num_blocks
+        metrics["train_acc"] = acc_sum / num_blocks
         return state, metrics
 
     return step

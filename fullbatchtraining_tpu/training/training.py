@@ -100,6 +100,7 @@ class TrainFunctions:
     info: dict
     opt_update: Callable = None   # raw (grads, opt_state, params, lr) -> (params, opt_state)
     ema_step: Callable = None     # (state) -> state with EMA refreshed (no-op when off)
+    block_gradient_eval: Callable = None  # per-block stochastic closure gradient
 
 
 def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFunctions:
@@ -385,6 +386,43 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         out_specs=(P(), P(), P(), P(), P(DATA_AXIS)),
         check_vma=False)
 
+    # Per-block gradient evaluation for stochastic closure optimizers: the
+    # reference's stochastic closure body (pmean'd block gradient, grad-reg
+    # with pre_grads=None, 2-norm clip only; training.py:257-276).
+    def _local_block_grad(params, batch_stats, images, labels, key, lr, bidx):
+        images = images[0, 0]  # (chunks, sub, ...) single-block slice
+        labels = labels[0, 0]
+        dev = jax.lax.axis_index(DATA_AXIS)
+        k = jax.random.fold_in(jax.random.fold_in(key, dev), bidx)
+        flat_imgs = images.reshape(-1, *images.shape[2:])
+        flat_lbls = labels.reshape(-1)
+        (loss, (bn, correct)), grads = grad_chunk(params, batch_stats, flat_imgs,
+                                                  flat_lbls, k)
+        if reg_fn is not None:
+            grads = reg_fn(grads, params, bn, flat_imgs, flat_lbls, None, lr, k)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        if hyp.grad_clip is not None:
+            grads, _, _ = tree_clip_by_norm(grads, hyp.grad_clip, 2.0)
+        package = jax.lax.psum(jnp.stack([loss, correct]), DATA_AXIS)
+        bn = jax.lax.pmean(bn, DATA_AXIS) if bn else bn
+        return grads, bn, package
+
+    sharded_block_grad = jax.shard_map(
+        _local_block_grad, mesh=mesh,
+        in_specs=(P(), P(), data_spec, data_spec, P(), P(), P()),
+        out_specs=(P(), P(), P()), check_vma=False)
+
+    def block_gradient_eval(state: TrainState, images, labels, bidx):
+        """(grads, bn, metrics) for ONE block slice of shape (1, dev, ...)."""
+        lr = schedule(state.step)
+        key = _seed_key(state.step)
+        grads, bn, package = sharded_block_grad(
+            state.params, state.batch_stats, images, labels, key, lr,
+            jnp.asarray(bidx, jnp.int32))
+        metrics = {"train_loss": package[0] / n_dev,
+                   "train_acc": package[1] / (chunks * sub * n_dev)}
+        return grads, bn, metrics
+
     def stochastic_step(state: TrainState, images, labels):
         lr = schedule(state.step)
         key = _seed_key(state.step)
@@ -478,6 +516,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         info=info,
         opt_update=opt_update,
         ema_step=jit(ema_step),
+        block_gradient_eval=jit(block_gradient_eval, static_argnames=()),
     )
 
 

@@ -22,30 +22,27 @@ pytestmark = pytest.mark.skipif(not REF_MODULES.exists(),
                                 reason="reference repo not mounted")
 
 
-def _patch_foreach_for_modern_torch():
+@pytest.fixture(autouse=True)
+def _patch_foreach_for_modern_torch(monkeypatch):
     """The reference targets torch 1.9, where _foreach_add_ accepted a 0-d
-    tensor alpha (used for the darts eps, modules.py:226). torch 2.x requires
-    a python scalar; shim it so the oracle runs unmodified."""
+    tensor alpha (used for the darts eps, modules.py:226) and permitted
+    in-place foreach on grad-requiring leaves. Shim both so the oracle runs
+    unmodified; monkeypatch restores the originals after each test."""
     import torch
 
     for name in ("_foreach_add_", "_foreach_sub_"):
         original = getattr(torch, name)
-        if getattr(original, "_fbt_patched", False):
-            continue
 
         def patched(tensors, others, alpha=1, _orig=original):
             if isinstance(alpha, torch.Tensor):
                 alpha = alpha.item()
-            # torch 1.9 permitted in-place foreach on grad-requiring leaves
             with torch.no_grad():
                 return _orig(tensors, others, alpha=alpha)
 
-        patched._fbt_patched = True
-        setattr(torch, name, patched)
+        monkeypatch.setattr(torch, name, patched)
 
 
 def _load_ref_modules():
-    _patch_foreach_for_modern_torch()
     pkg = types.ModuleType("refmodels2")
     pkg.__path__ = [str(REF_MODULES.parent)]
     sys.modules["refmodels2"] = pkg

@@ -233,7 +233,7 @@ def test_stochastic_line_search(config_dir):
     (reference training.py:241-286)."""
     cfg, mesh, bundle, model = _setup(config_dir, [
         "hyp=base_sgd", "hyp.steps=2", "hyp.optim.line_search=wolfe",
-        "data.augmentations_train="])
+        "data.batch_size=8"])  # 2 blocks: exercises the per-block loop
     state, stats = train(model, bundle, mesh, cfg)
     assert int(state.step) == 2
     assert np.isfinite(stats["train_loss"]).all()
