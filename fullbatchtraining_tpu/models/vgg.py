@@ -40,7 +40,10 @@ class VGG(nn.Module):
             if entry == "M":
                 x = max_pool(x, window=2, stride=2)
             else:
-                x = conv(entry, kernel_size=3, padding=1, name=f"conv{idx}")(x)
+                # the reference's conv layers keep torch's default bias=True
+                # (vgg.py:86: no bias argument passed)
+                x = conv(entry, kernel_size=3, padding=1, bias=True,
+                         name=f"conv{idx}")(x)
                 x = norm(entry, name=f"norm{idx}")(x, train=train)
                 x = nonlin(x)
                 idx += 1
