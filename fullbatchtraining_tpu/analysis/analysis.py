@@ -171,15 +171,10 @@ def _flatness(model, bundle, mesh, cfg, fns, state):
     threshold (rollouts.py:278-290)."""
     from ..training.training import stage_validation
 
-    # Reuse the sharded eval program as the loss oracle over the train set.
-    images, labels = bundle.train.images, bundle.train.labels
-    saved_valid = bundle.valid
-    try:
-        bundle.valid = bundle.train
-        val = stage_validation(bundle, mesh, fns.num_devices, bundle.batch_size,
-                               dryrun=cfg.dryrun)
-    finally:
-        bundle.valid = saved_valid
+    # Reuse the sharded eval program as the loss oracle over the train set,
+    # passed explicitly (no bundle mutation).
+    val = stage_validation(bundle, mesh, fns.num_devices, bundle.batch_size,
+                           dryrun=cfg.dryrun, split=bundle.train)
 
     def loss_at(params):
         metrics = fns.eval_step(params, state.batch_stats, *val)

@@ -190,6 +190,8 @@ def load_config(
             raise ValueError(f"Override {raw!r} must look like key=value")
         key, text = body.split("=", 1)
         key = key.strip()
+        if key == "hydra" or key.startswith(("hydra/", "hydra.")):
+            continue  # hydra framework config (job_logging etc.) handled natively
         # Group override? key (with . or / separators) names a directory of options.
         group_rel = "/".join(_GROUP_SEP.split(key))
         if (config_dir / group_rel).is_dir() and mode == "set":

@@ -9,8 +9,9 @@ list [optim_state, model_state, scheduler_state, scaler_state, step]
 linear weights (O, I) -> (I, O).
 
 Hub-style entry points mirror hubconf.py:71-99: resnet18_fbaug_clip /
-gradreg / gradreg_v2 / highreg and resnet152_fbaug_highreg. With zero
-network egress the release assets must be supplied as local files.
+gradreg / gradreg_v2 / highreg and resnet152_fbaug_highreg. Assets are
+auto-downloaded from the v1 release URL (urllib, cached); with zero network
+egress a clear error asks for a local file= path instead.
 """
 
 from __future__ import annotations
@@ -163,12 +164,42 @@ def _model_cfg(depth: int, width: int = 64, downsample: str = "C"):
     })
 
 
+def _fetch_release_asset(url: str, cache_dir: Path | None = None) -> Path:
+    """Download a release asset with urllib (reference hubconf.py:37-40 uses
+    torch.hub.load_state_dict_from_url). Cached under ~/.cache; raises a
+    clear error in zero-egress environments. file:// URLs work offline."""
+    import urllib.error
+    import urllib.request
+
+    cache_dir = Path(cache_dir or Path.home() / ".cache" / "fullbatchtraining_tpu")
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    target = cache_dir / url.rsplit("/", 1)[-1]
+    if target.exists():
+        return target
+    log.info("Downloading %s -> %s", url, target)
+    tmp = target.with_suffix(".tmp")
+    try:
+        with urllib.request.urlopen(url, timeout=60) as response, open(tmp, "wb") as out:
+            while chunk := response.read(1 << 20):
+                out.write(chunk)
+    except (urllib.error.URLError, OSError) as err:
+        tmp.unlink(missing_ok=True)
+        raise RuntimeError(
+            f"Could not download {url} ({err}). This environment may have no "
+            f"network egress: download the asset manually and pass its local "
+            f"path via file=..."
+        ) from err
+    tmp.replace(target)
+    return target
+
+
 def load_pretrained(entry: str, file: str | Path | None = None,
                     channels: int = 3, classes: int = 10):
     """Build the model + converted variables for a hub entry.
 
-    ``file``: local path to the release .pth asset (required offline; with
-    egress, torch.hub downloads from the v1 release URL).
+    ``file``: local path or URL (http/https/file) of the release .pth asset.
+    When None, the asset is fetched from the v1 GitHub release URL (reference
+    hubconf.py:37-40) — offline, a clear error points at file=.
     """
     if entry not in RELEASE_FILES:
         raise ValueError(f"Unknown entry {entry}. Available: {sorted(RELEASE_FILES)}")
@@ -178,14 +209,10 @@ def load_pretrained(entry: str, file: str | Path | None = None,
     variables = initialize_model(model, jax.random.key(0), pixels=32, channels=channels)
 
     if file is None:
-        import torch.hub
-
-        url = _RELEASE_URL + RELEASE_FILES[entry]
-        state = torch.hub.load_state_dict_from_url(url, map_location="cpu")
-        _, model_state, _, _, step = state
-        model_state = {k: np.asarray(v.numpy()) for k, v in model_state.items()}
-    else:
-        model_state, step = _torch_load(file)
+        file = _fetch_release_asset(_RELEASE_URL + RELEASE_FILES[entry])
+    elif isinstance(file, str) and file.split("://")[0] in ("http", "https", "file"):
+        file = _fetch_release_asset(file)
+    model_state, step = _torch_load(file)
     variables = convert_torch_resnet(model_state, variables)
     log.info("Loaded %s (trained to step %d).", entry, step)
     return model, variables

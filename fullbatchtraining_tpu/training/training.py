@@ -569,9 +569,15 @@ def stage_epoch(bundle: DataBundle, fns: TrainFunctions, mesh: Mesh, cfg, step: 
 
 
 def stage_validation(bundle: DataBundle, mesh: Mesh, n_dev: int, batch: int,
-                     dryrun: bool = False):
-    """Pad validation data to a devices x blocks grid with per-sample weights."""
-    images, labels = bundle.valid.images, bundle.valid.labels
+                     dryrun: bool = False, split=None):
+    """Pad validation data to a devices x blocks grid with per-sample weights.
+
+    ``split`` selects an explicit dataset split (default: bundle.valid) so
+    callers like analysis flatness can evaluate the train set without
+    mutating the bundle.
+    """
+    split = bundle.valid if split is None else split
+    images, labels = split.images, split.labels
     n = len(images)
     per_dev = -(-n // n_dev)
     blocks = -(-per_dev // batch)

@@ -1,5 +1,7 @@
 """Config engine tests: Hydra-equivalent composition and override semantics."""
 
+from pathlib import Path
+
 from fullbatchtraining_tpu.config import load_config, to_yaml
 
 
@@ -102,3 +104,52 @@ def test_to_yaml_roundtrip(config_dir):
     cfg = load_config(config_dir)
     text = to_yaml(cfg)
     assert "CIFAR10" in text and "Gradient Descent" in text
+
+
+def _reference_cli_lines():
+    """Every `python train_with_gradient_descent.py ...` line in the reference's
+    launch scripts (train.sh:4-42, train_distributed_multinode.sh:4-45,
+    train_distributed_with_checkpoints.sh), commented or not — the full
+    published CLI surface."""
+    import re
+
+    ref_root = Path("/root/reference")
+    lines = []
+    for script in ("train.sh", "train_distributed_multinode.sh",
+                   "train_distributed_with_checkpoints.sh"):
+        path = ref_root / script
+        if not path.exists():
+            continue
+        for raw in path.read_text().splitlines():
+            text = raw.lstrip("# ").strip()
+            if text.startswith("python train_with_gradient_descent.py"):
+                lines.append(text.split("#")[0])  # strip trailing comments
+    return lines
+
+
+def test_every_reference_cli_line_composes(config_dir):
+    lines = _reference_cli_lines()
+    assert len(lines) >= 40, f"expected the full recipe surface, got {len(lines)}"
+    for line in lines:
+        overrides = line.split()[2:]
+        cfg = load_config(config_dir, overrides=overrides)
+        assert cfg.hyp.steps > 0 and cfg.model.name
+
+
+def test_hyp_cifar10_resnet18_composes(config_dir):
+    # Reference config/hyp/CIFAR10_ResNet18.yaml:1-44. The reference file's
+    # `optim: gd` string crashes its own optim_interface; here it composes
+    # the optim group properly (documented fix).
+    cfg = load_config(config_dir, overrides=["hyp=CIFAR10_ResNet18"])
+    assert cfg.hyp.steps == 120
+    assert cfg.hyp.scheduler == "cosine-decay"
+    assert cfg.hyp.warmup == 5
+    assert cfg.hyp.optim.name == "Gradient Descent"
+    assert cfg.hyp.grad_reg.eps == 1e-2
+
+
+def test_hydra_job_logging_override_accepted(config_dir):
+    # `override hydra/job_logging: custom` defaults entries and the matching
+    # CLI form are silently accepted (logging handled natively).
+    cfg = load_config(config_dir, overrides=["hydra/job_logging=custom"])
+    assert cfg.hyp.steps > 0

@@ -16,8 +16,9 @@ import pytest
 
 REF_MODELS = pathlib.Path("/root/reference/fullbatch/models")
 
-pytestmark = pytest.mark.skipif(not REF_MODELS.exists(),
-                                reason="reference repo not mounted")
+pytestmark = [pytest.mark.slow,  # compile-heavy on the 1-core host
+              pytest.mark.skipif(not REF_MODELS.exists(),
+                                reason="reference repo not mounted")]
 
 
 def _load(name):

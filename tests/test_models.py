@@ -13,6 +13,8 @@ from fullbatchtraining_tpu.models.modules import (
     maxup_loss,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy on the 1-core host
+
 
 def _build(config_dir, model_name, pixels=32, channels=3, classes=10, batch=2):
     cfg = load_config(config_dir, overrides=[f"model={model_name}"])

@@ -16,8 +16,9 @@ import pytest
 
 REFERENCE = pathlib.Path("/root/reference/fullbatch/models")
 
-pytestmark = pytest.mark.skipif(not REFERENCE.exists(),
-                                reason="reference repo not mounted")
+pytestmark = [pytest.mark.slow,  # compile-heavy on the 1-core host
+              pytest.mark.skipif(not REFERENCE.exists(),
+                                reason="reference repo not mounted")]
 
 
 def _load_reference_models():
@@ -95,3 +96,32 @@ def test_unknown_entry_raises():
 
     with pytest.raises(ValueError, match="Unknown entry"):
         load_pretrained("resnet9000")
+
+
+def test_release_entry_url_download(tmp_path, monkeypatch):
+    """The auto-download path (reference hubconf.py:37-40) works, exercised
+    with a file:// URL since this environment has no egress."""
+    import torch
+    import jax.numpy as jnp
+
+    from fullbatchtraining_tpu.pretrained import load_pretrained
+
+    ref = _load_reference_models()
+    block, layers = ref.resnet_depths_to_config(18)
+    torch_model = ref.ResNet(block, layers, 3, 10, stem="CIFAR", downsample="C",
+                             zero_init_residual=True)
+    file = tmp_path / "final_fbaug_highreg_lr08_resnet18.pth"
+    torch.save([{}, torch_model.state_dict(), {}, None, 3000], file)
+    monkeypatch.setenv("HOME", str(tmp_path / "home"))  # redirect the cache dir
+
+    model, variables = load_pretrained("resnet18_fbaug_highreg",
+                                       file=f"file://{file}")
+    out = model.apply(variables, jnp.zeros((2, 32, 32, 3)), train=False)
+    assert out.shape == (2, 10)
+
+
+def test_download_offline_error_message(tmp_path, monkeypatch):
+    from fullbatchtraining_tpu.pretrained import _fetch_release_asset
+
+    with pytest.raises(RuntimeError, match="network egress"):
+        _fetch_release_asset("file:///nonexistent/asset.pth", cache_dir=tmp_path)
