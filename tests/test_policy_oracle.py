@@ -1,0 +1,140 @@
+"""Byte-exact parity of the policy-augmentation engine vs the reference's
+vendored timm auto_augment.py (read-only oracle).
+
+Both engines consume `random` / `np.random` draws in the same order, so with
+identical seeds every produced image must match exactly — covering the full
+op surface incl. TranslateXRel/YRel (reference :274-283) and the
+*Increasing family selected by -inc1 specs (reference :483-518, :783-787).
+"""
+
+import importlib.util
+import pathlib
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REF_FILE = pathlib.Path("/root/reference/fullbatch/data/auto_augment.py")
+
+pytestmark = pytest.mark.skipif(not REF_FILE.exists(),
+                                reason="reference repo not mounted")
+
+
+def _load_reference():
+    spec = importlib.util.spec_from_file_location("ref_auto_augment", REF_FILE)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    return module
+
+
+def _test_images(n=4, size=32, seed=99):
+    rng = np.random.default_rng(seed)
+    return [Image.fromarray(rng.integers(0, 256, (size, size, 3), dtype=np.uint8))
+            for _ in range(n)]
+
+
+def _hparams(img_size=32, mean=(0.5, 0.5, 0.5)):
+    """Reference data_preparation.py:157-163 aa_params."""
+    return {
+        "translate_const": int(img_size * 0.45),
+        "img_mean": tuple(min(255, round(255 * x)) for x in mean),
+    }
+
+
+def _compare(build_ref, build_ours, trials=8):
+    """Seed-for-seed identical outputs between reference and ours."""
+    for trial in range(trials):
+        for idx, img in enumerate(_test_images()):
+            random.seed(1000 * trial + idx)
+            np.random.seed(1000 * trial + idx)
+            ref_out = np.asarray(build_ref()(img.copy()))
+            random.seed(1000 * trial + idx)
+            np.random.seed(1000 * trial + idx)
+            our_out = np.asarray(build_ours()(img.copy()))
+            np.testing.assert_array_equal(
+                our_out, ref_out, err_msg=f"trial {trial} image {idx}")
+
+
+# The -inc1 spec is the one the VERDICT singled out; the others cover
+# magnitude noise, uniform sampling, weighted choice, and mmax.
+RAND_SPECS = [
+    "rand-m7-n2-mstd0.5-inc1",
+    "rand-m9-n2-mstd0.5",
+    "rand-m7-n3-inc1",
+    "rand-mstd101-n2-m9",   # mstd>100 -> uniform magnitude sampling
+    "rand-m9-n2-w0",        # weighted op choice
+    "rand-m12-mmax15-n2",   # magnitude above the default 10 cap
+]
+
+
+@pytest.mark.parametrize("spec", RAND_SPECS)
+def test_rand_augment_parity(spec):
+    ref = _load_reference()
+    from fullbatchtraining_tpu.data.policy_augment import rand_augment_transform
+
+    _compare(lambda: ref.rand_augment_transform(spec, _hparams()),
+             lambda: rand_augment_transform(spec, _hparams()))
+
+
+@pytest.mark.parametrize("spec", ["v0", "v0r", "original", "originalr",
+                                  "v0-mstd0.5", "original-mstd0.5"])
+def test_auto_augment_parity(spec):
+    ref = _load_reference()
+    from fullbatchtraining_tpu.data.policy_augment import auto_augment_transform
+
+    _compare(lambda: ref.auto_augment_transform(spec, _hparams()),
+             lambda: auto_augment_transform(spec, _hparams()))
+
+
+@pytest.mark.parametrize("spec", ["augmix-m5-w4-d2", "augmix-m3",
+                                  "augmix-b1-m5-w3"])
+def test_augmix_parity(spec):
+    ref = _load_reference()
+    from fullbatchtraining_tpu.data.policy_augment import augment_and_mix_transform
+
+    def hp():
+        hparams = _hparams()
+        hparams["translate_pct"] = 0.3  # data_preparation.py:167
+        return hparams
+
+    _compare(lambda: ref.augment_and_mix_transform(spec, hp()),
+             lambda: augment_and_mix_transform(spec, hp()))
+
+
+def test_every_op_parity():
+    """Each named op individually at several magnitudes (covers level fns
+    op-by-op, incl. ops absent from the default lists)."""
+    ref = _load_reference()
+    from fullbatchtraining_tpu.data import policy_augment as ours
+
+    names = sorted(ref.NAME_TO_OP)
+    assert set(ours._RAND_TRANSFORMS + ours._RAND_INCREASING_TRANSFORMS
+               + ours._AUGMIX_TRANSFORMS + ["PosterizeOriginal", "TranslateX",
+                                            "TranslateY"]) == set(names)
+    for name in names:
+        for magnitude in (0, 3, 7, 10):
+            for idx, img in enumerate(_test_images(n=2)):
+                seed = hash((name, magnitude, idx)) % (2 ** 31)
+                random.seed(seed)
+                ref_op = ref.AugmentOp(name, prob=1.0, magnitude=magnitude,
+                                       hparams=_hparams())
+                ref_out = np.asarray(ref_op(img.copy()))
+                random.seed(seed)
+                our_op = ours._AugmentOp(name, prob=1.0, magnitude=magnitude,
+                                         hparams=_hparams())
+                our_out = np.asarray(our_op(img.copy()))
+                np.testing.assert_array_equal(
+                    our_out, ref_out, err_msg=f"{name} @ m{magnitude}")
+
+
+def test_policy_batch_determinism():
+    from fullbatchtraining_tpu.data.policy_augment import apply_policy_batch
+
+    imgs = np.stack([np.asarray(im) for im in _test_images()])
+    out1 = apply_policy_batch(imgs, "RandAugment", "rand-m7-n2-mstd0.5-inc1",
+                              (0.5, 0.5, 0.5), seed=3)
+    out2 = apply_policy_batch(imgs, "RandAugment", "rand-m7-n2-mstd0.5-inc1",
+                              (0.5, 0.5, 0.5), seed=3)
+    np.testing.assert_array_equal(out1, out2)
+    assert out1.dtype == np.uint8 and out1.shape == imgs.shape
