@@ -116,8 +116,53 @@ class Identity(nn.Module):
         return x
 
 
+class _TorchBatchNorm(nn.Module):
+    """BatchNorm with exact torch.nn.BatchNorm2d semantics.
+
+    flax.linen.BatchNorm updates the running variance with the BIASED batch
+    variance; torch uses the UNBIASED one (factor n/(n-1)) while normalizing
+    with the biased one. Matching torch here keeps eval-mode logits of
+    converted checkpoints and long-trained running stats aligned with the
+    reference (train-mode parity test in tests/test_model_oracles.py).
+    Statistics are computed in float32 regardless of compute dtype.
+    """
+
+    channels: int
+    momentum: float = 0.9  # flax convention: ra = m * ra + (1 - m) * new
+    epsilon: float = 1e-5
+    scale_init: Callable = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        scale = self.param("scale", self.scale_init, (self.channels,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(self.channels, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(self.channels, jnp.float32))
+        if train:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = x.size / self.channels
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var * (n / max(n - 1, 1)))
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
+
+
 class BatchNorm2d(nn.Module):
-    """BatchNorm with torch-compatible defaults (momentum 0.1 torch = 0.9 flax)."""
+    """BatchNorm with torch-compatible defaults (momentum 0.1 torch = 0.9 flax).
+
+    Kept as a thin wrapper with the stats under a ``bn`` subtree so checkpoint
+    and converter paths are stable.
+    """
 
     channels: int
     momentum: float = 0.9
@@ -126,13 +171,9 @@ class BatchNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            scale_init=self.scale_init,
-            name="bn",
-        )(x)
+        return _TorchBatchNorm(self.channels, momentum=self.momentum,
+                               epsilon=self.epsilon, scale_init=self.scale_init,
+                               name="bn")(x, train=train)
 
 
 class GroupNorm2d(nn.Module):

@@ -71,8 +71,11 @@ class GhostBatchNorm(nn.Module):
             if not self.is_initializing():
                 flat_mean = mean.reshape(num_chunks, self.channels).mean(0)
                 flat_var = var.reshape(num_chunks, self.channels).mean(0)
+                # torch running-var updates use the unbiased estimate
+                n = chunks.size / (num_chunks * self.channels)
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * flat_mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * flat_var
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * flat_var * (n / max(n - 1, 1)))
             return out
         normed = (x - ra_mean.value) * jax.lax.rsqrt(ra_var.value + self.epsilon)
         return normed * scale + bias

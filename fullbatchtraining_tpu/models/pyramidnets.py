@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import avg_pool, global_avg_pool, kaiming_normal_out
+from .layers import _TorchBatchNorm, avg_pool, global_avg_pool, kaiming_normal_out
 
 
 def _conv(features, kernel_size=3, stride=1, padding=1, name=None):
@@ -22,8 +22,8 @@ def _conv(features, kernel_size=3, stride=1, padding=1, name=None):
 
 
 def _bn(name):
-    return lambda x, train: nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                         epsilon=1e-5, name=name)(x)
+    # _TorchBatchNorm: torch-exact running-stat updates (see layers.py)
+    return lambda x, train: _TorchBatchNorm(x.shape[-1], name=name)(x, train=train)
 
 
 def _shortcut_add(out, shortcut):
@@ -104,8 +104,7 @@ class PyramidNet(nn.Module):
                     name=f"layer{stage + 1}_block{block_idx}",
                 )(x, train=train)
 
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         name="bn_final")(x)
+        x = _TorchBatchNorm(x.shape[-1], name="bn_final")(x, train=train)
         x = nn.relu(x)
         x = global_avg_pool(x)
         return nn.Dense(self.classes, name="fc")(x)

@@ -49,7 +49,8 @@ def _torch_load(path):
         _, model_state, _, _, step = payload
     else:  # bare state dict
         model_state, step = payload, 0
-    return {k: np.asarray(v.detach().numpy() if hasattr(v, "detach") else v)
+    # np.array (copy): .numpy() views torch storage; see convert_torch_resnet.
+    return {k: np.array(v.detach().numpy() if hasattr(v, "detach") else v)
             for k, v in model_state.items()}, int(step)
 
 
@@ -144,7 +145,11 @@ def convert_torch_resnet(model_state: dict, variables: dict) -> dict:
                     value = value.T
             assert value.shape == leaf.shape, \
                 f"{'/'.join(parts)}: {value.shape} != {leaf.shape}"
-            new_leaves.append(jnp.asarray(value, leaf.dtype))
+            # jnp.array (copy=True): on the CPU backend jnp.asarray would
+            # ALIAS a numpy view of torch storage, so later in-place torch
+            # mutations (e.g. BN running-stat updates) would silently change
+            # the converted arrays.
+            new_leaves.append(jnp.array(value, leaf.dtype))
         converted[collection] = jax.tree.unflatten(treedef, new_leaves)
 
     visit("params")

@@ -222,3 +222,189 @@ def test_vgg_forward_parity():
         tout = tmodel(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
     ours = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(ours, tout, rtol=2e-3, atol=2e-4)
+
+
+def _load_densenets():
+    """The reference densenets.py subclasses torchvision's _DenseLayer only to
+    reuse its forward; shim that base class (torchvision absent here)."""
+    import torch
+
+    if "torchvision" not in sys.modules:
+        class _TVDenseLayer(torch.nn.Module):
+            def bn_function(self, inputs):
+                return self.conv1(self.relu1(self.norm1(torch.cat(inputs, 1))))
+
+            def forward(self, input):  # noqa: A002 - torchvision signature
+                prev = [input] if isinstance(input, torch.Tensor) else input
+                bottleneck = self.bn_function(prev)
+                new = self.conv2(self.relu2(self.norm2(bottleneck)))
+                if self.drop_rate > 0:
+                    new = torch.nn.functional.dropout(
+                        new, p=self.drop_rate, training=self.training)
+                return new
+
+        tv = types.ModuleType("torchvision")
+        tv_models = types.ModuleType("torchvision.models")
+        tv_densenet = types.ModuleType("torchvision.models.densenet")
+        tv_densenet._DenseLayer = _TVDenseLayer
+        tv_models.densenet = tv_densenet
+        tv.models = tv_models
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv_models
+        sys.modules["torchvision.models.densenet"] = tv_densenet
+    _load("utils")
+    return _load("densenets")
+
+
+def _densenet_torch_key(parts, leaf):
+    suffix = {"kernel": "weight", "scale": "weight", "bias": "bias",
+              "mean": "running_mean", "var": "running_var"}[leaf]
+    name = parts[0]
+    parts = [p for p in parts if p != "bn"]  # BatchNorm2d wrapper subtree
+    if name == "classifier":
+        return f"classifier.{suffix}"
+    if name.startswith(("stem_conv", "stem_norm")):
+        return f"features.{name.removeprefix('stem_')}.{suffix}"
+    match = re.fullmatch(r"block(\d+)_layer(\d+)", name)
+    if match:
+        return (f"features.denseblock{match.group(1)}."
+                f"denselayer{match.group(2)}.{parts[1]}.{suffix}")
+    match = re.fullmatch(r"transition(\d+)_(norm|conv)", name)
+    if match:
+        return f"features.transition{match.group(1)}.{match.group(2)}.{suffix}"
+    if name == "final_norm":
+        return f"features.norm5.{suffix}"
+    raise KeyError(name)
+
+
+def test_densenet121_forward_parity():
+    """DenseNet-121 full-forward parity vs the reference densenets.py
+    (CIFAR stem), converted weights OIHW->HWIO."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from fullbatchtraining_tpu.models.densenets import DenseNet, densenet_depths_to_config
+
+    ref = _load_densenets()
+    growth, blocks, init_feats = ref.densenet_depths_to_config(121)
+    tmodel = ref.DenseNet(growth_rate=growth, block_config=blocks,
+                          num_init_features=init_feats, num_classes=10,
+                          channels=3, stem="CIFAR")
+    tmodel.eval()
+    state = {k: np.asarray(v.detach().numpy()) for k, v in tmodel.state_dict().items()
+             if "num_batches_tracked" not in k}
+
+    assert densenet_depths_to_config(121) == (growth, blocks, init_feats)
+    model = DenseNet(growth_rate=growth, block_config=blocks,
+                     num_init_features=init_feats, classes=10, stem="CIFAR")
+    variables = dict(model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                                train=False))
+
+    for collection in ("params", "batch_stats"):
+        flat, treedef = jtu.tree_flatten_with_path(jax.device_get(variables[collection]))
+        leaves = []
+        for path, leaf in flat:
+            parts = [p.key for p in path]
+            value = state[_densenet_torch_key(parts, parts[-1])]
+            if parts[-1] == "kernel":
+                value = value.transpose(2, 3, 1, 0) if value.ndim == 4 else value.T
+            assert value.shape == leaf.shape, (parts, value.shape, leaf.shape)
+            leaves.append(jnp.asarray(value))
+        variables[collection] = jtu.tree_unflatten(treedef, leaves)
+
+    x = np.random.default_rng(3).normal(size=(2, 16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        tout = tmodel(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    ours = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(ours, tout, rtol=2e-3, atol=2e-3)
+
+
+def test_resnet18_train_mode_parity():
+    """Train-mode (BN-updating) forward parity: logits computed with batch
+    statistics AND the updated running mean/var match torch, including the
+    unbiased-variance running update (torch semantics)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    # reuse the resnets loader from test_pretrained
+    from test_pretrained import _load_reference_models
+    from fullbatchtraining_tpu.models import construct_model, initialize_model
+    from fullbatchtraining_tpu.pretrained import _model_cfg, convert_torch_resnet
+
+    ref = _load_reference_models()
+    block, layers = ref.resnet_depths_to_config(18)
+    tmodel = ref.ResNet(block, layers, 3, 10, stem="CIFAR", downsample="C",
+                        zero_init_residual=True)
+    state = {k: np.asarray(v.detach().numpy())
+             for k, v in tmodel.state_dict().items()}
+
+    model = construct_model(_model_cfg(18), 3, 10)
+    variables = initialize_model(model, jax.random.key(0), pixels=32, channels=3)
+    variables = convert_torch_resnet(state, variables)
+
+    x = np.random.default_rng(4).normal(size=(8, 32, 32, 3)).astype(np.float32)
+    tmodel.train()
+    with torch.no_grad():
+        tout = tmodel(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    ours, mutated = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(ours), tout, rtol=1e-3, atol=1e-4)
+
+    # updated running stats must match torch's post-forward state dict
+    post = {k: np.asarray(v.detach().numpy())
+            for k, v in tmodel.state_dict().items()}
+    # tolerance: fp32 conv outputs differ between torch and XLA and the
+    # difference compounds with depth (measured ~3e-4 at layer4)
+    flat, _ = jtu.tree_flatten_with_path(jax.device_get(mutated["batch_stats"]))
+    checked = 0
+    for path, leaf in flat:
+        parts = [p.key for p in path]
+        key = _resnet_stats_key(parts)
+        np.testing.assert_allclose(np.asarray(leaf), post[key],
+                                   rtol=1e-2, atol=1e-3, err_msg=key)
+        checked += 1
+    assert checked >= 40  # ResNet-18: 20 BN layers x (mean, var)
+
+
+def test_batchnorm_unbiased_running_update():
+    """_TorchBatchNorm matches torch.nn.BatchNorm2d exactly at small n, where
+    biased vs unbiased running-var updates differ by n/(n-1) = 16/15 — well
+    above fp noise (flax.linen.BatchNorm would fail this)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from fullbatchtraining_tpu.models.layers import _TorchBatchNorm
+
+    x = np.random.default_rng(5).normal(size=(4, 2, 2, 3)).astype(np.float32)
+    tbn = torch.nn.BatchNorm2d(3)
+    tbn.train()
+    with torch.no_grad():
+        tout = tbn(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+
+    bn = _TorchBatchNorm(3)
+    variables = bn.init(jax.random.key(0), jnp.asarray(x), train=True)
+    ours, mutated = bn.apply(variables, jnp.asarray(x), train=True,
+                             mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), tout,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mutated["batch_stats"]["mean"]),
+                               tbn.running_mean.numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(mutated["batch_stats"]["var"]),
+                               tbn.running_var.numpy(), rtol=1e-6, atol=1e-7)
+
+
+def _resnet_stats_key(parts):
+    """flax batch_stats path -> reference ResNet running-stat key (mirrors
+    the mapping in fullbatchtraining_tpu/pretrained.py)."""
+    from fullbatchtraining_tpu.pretrained import _torch_key_for
+
+    return _torch_key_for(parts, parts[-1], "batch_stats")
