@@ -33,6 +33,7 @@ Deviations from the reference, documented:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import os
 import time
@@ -525,13 +526,74 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
 # ---------------------------------------------------------------------------
 
 
+def _epoch_order(cfg, step: int, n: int) -> np.ndarray:
+    """Per-step sample order for hyp.shuffle=True (host PRNG, reproducible)."""
+    seed = (cfg.seed if cfg.seed is not None else 0) * 1_000_003 + step
+    rng = np.random.default_rng(seed)
+    if cfg.hyp.get("sample_with_replacement", False) and jax.process_count() == 1:
+        # mini-batches drawn WITH replacement; shuffle=True, non-distributed
+        # only (reference _default_hyperparams.yaml:3, data_preparation.py)
+        return rng.integers(0, n, n)
+    return rng.permutation(n)
+
+
+def _make_device_stager(images: np.ndarray, labels: np.ndarray,
+                        fns: TrainFunctions, mesh: Mesh):
+    """HBM-resident epoch + jitted permute/layout (VERDICT round 1, item 2).
+
+    The flat epoch is uploaded ONCE; each step only ships an int32 order
+    vector (~200 KB for CIFAR vs ~150 MB for the full epoch) and a small
+    jitted gather+reshape places the permuted, laid-out epoch directly into
+    the sharded layout the step program consumes. This is a data-placement
+    program, not part of the optimizer step (which remains one XLA program
+    with one psum); closure optimizers reuse its output across closure calls.
+    """
+    from ..parallel.mesh import data_sharding, replicated
+
+    num_blocks, chunks, sub = fns.layout
+    n_dev = fns.num_devices
+    total = num_blocks * n_dev * chunks * sub
+    img_shape = images.shape[1:]
+
+    # Pad the row count to a multiple of n_dev so the flat arrays shard
+    # evenly; padded rows have index >= len(images) and are never selected.
+    n = len(images)
+    padded = -(-n // n_dev) * n_dev
+    if padded != n:
+        images = np.concatenate(
+            [images, np.zeros((padded - n, *img_shape), images.dtype)])
+        labels = np.concatenate([labels, np.zeros(padded - n, labels.dtype)])
+    flat_im = jax.device_put(images, data_sharding(mesh, 0, images.ndim))
+    flat_lb = jax.device_put(labels, data_sharding(mesh, 0, labels.ndim))
+
+    out_sh = (data_sharding(mesh, 1, 2 + len(img_shape) + 2),
+              data_sharding(mesh, 1, 4))
+
+    @functools.partial(jax.jit, out_shardings=out_sh)
+    def permute_layout(fi, fl, order):
+        idx = order[:total]
+        im = jnp.take(fi, idx, axis=0).reshape(
+            num_blocks, n_dev, chunks, sub, *img_shape)
+        lb = jnp.take(fl, idx, axis=0).reshape(num_blocks, n_dev, chunks, sub)
+        return im, lb
+
+    order_sh = replicated(mesh)
+
+    def stage(order: np.ndarray):
+        dev_order = jax.device_put(np.asarray(order, np.int32), order_sh)
+        return permute_layout(flat_im, flat_lb, dev_order)
+
+    return stage
+
+
 def stage_epoch(bundle: DataBundle, fns: TrainFunctions, mesh: Mesh, cfg, step: int,
                 cache: dict):
     """Return sharded (images, labels) for this optimizer step.
 
     Static order (shuffle=False, no rounds) is device-put once and reused.
-    shuffle=True permutes on host per step; semi-stochastic picks bake round
-    step % rounds (reference construct_subset_dataloader semantics)."""
+    shuffle=True keeps the epoch HBM-resident and permutes on device per step
+    (host fallback when disabled/multi-process); semi-stochastic picks bake
+    round step % rounds (reference construct_subset_dataloader semantics)."""
     hyp = cfg.hyp
     num_blocks, chunks, sub = fns.layout
     semi = hyp.train_semi_stochastic and bundle.baked is not None
@@ -547,14 +609,16 @@ def stage_epoch(bundle: DataBundle, fns: TrainFunctions, mesh: Mesh, cfg, step: 
         images, labels = bundle.train.images, bundle.train.labels
 
     if shuffled:
-        seed = (cfg.seed if cfg.seed is not None else 0) * 1_000_003 + step
-        rng = np.random.default_rng(seed)
-        if hyp.get("sample_with_replacement", False) and jax.process_count() == 1:
-            # mini-batches drawn WITH replacement; shuffle=True, non-distributed
-            # only (reference _default_hyperparams.yaml:3, data_preparation.py)
-            order = rng.integers(0, len(images), len(images))
-        else:
-            order = rng.permutation(len(images))
+        order = _epoch_order(cfg, step, len(images))
+        device_ok = (not semi and jax.process_count() == 1
+                     and bool(cfg.impl.get("device_shuffle", True))
+                     and images.nbytes <= int(cfg.impl.get(
+                         "device_shuffle_max_bytes", 8 << 30)))
+        if device_ok:
+            if "device_stager" not in cache:
+                cache["device_stager"] = _make_device_stager(images, labels,
+                                                             fns, mesh)
+            return cache["device_stager"](order)
         from ..data.native import gather_rows_native
 
         gathered = gather_rows_native(images, order)
