@@ -63,8 +63,23 @@ def data_sharding(mesh: Mesh, device_dim: int, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
+def put_global(array: np.ndarray, sharding: NamedSharding):
+    """Place a host array that every process holds in full onto a (possibly
+    multi-host) sharding.
+
+    Single-process: plain device_put. Multi-process: device_put would require
+    every device to be addressable, so each process instead materializes only
+    its addressable shards via make_array_from_callback (the TPU-native
+    replacement for the reference's per-rank DistributedSampler slicing,
+    data_preparation.py:50-51)."""
+    if jax.process_count() == 1:
+        return jax.device_put(array, sharding)
+    return jax.make_array_from_callback(array.shape, sharding,
+                                        lambda idx: array[idx])
+
+
 def shard_epoch_arrays(mesh: Mesh, images: np.ndarray, labels: np.ndarray):
     """Place (blocks, devices, chunks, sub, ...) arrays with dim 1 sharded."""
-    im = jax.device_put(images, data_sharding(mesh, 1, images.ndim))
-    lb = jax.device_put(labels, data_sharding(mesh, 1, labels.ndim))
+    im = put_global(images, data_sharding(mesh, 1, images.ndim))
+    lb = put_global(labels, data_sharding(mesh, 1, labels.ndim))
     return im, lb

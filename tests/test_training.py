@@ -264,3 +264,62 @@ def test_device_shuffle_with_replacement(config_dir):
     host = stage_epoch(bundle, fns, mesh, cfg, 1, {})
     for a, b in zip(dev, host):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _tiny_bn_model():
+    from flax import linen as nn
+
+    from fullbatchtraining_tpu.models.layers import BatchNorm2d
+
+    class TinyBN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = nn.Conv(4, (3, 3), use_bias=False)(x)
+            x = BatchNorm2d(4)(x, train=train)
+            x = nn.relu(x)
+            return nn.Dense(10)(x.mean(axis=(1, 2)))
+
+    return TinyBN()
+
+
+def test_block_grouping_matches_sequential(config_dir):
+    """Vmapped chunk groups reproduce the sequential accumulation: same mean
+    gradient, per-chunk grad norms, loss, and (sequential-EMA) BN running
+    stats, with grad-reg and per-chunk clipping active (VERDICT r1 item 2)."""
+    results = {}
+    for grouping in (1, 3):  # 8 chunks with group 3 -> 2 groups + ragged tail of 2
+        cfg, mesh, bundle, _ = _setup(config_dir, [
+            "data.augmentations_train=", "hyp.grad_reg.block_strength=0.5",
+            "hyp.batch_clip=0.25", "hyp.optim.lr=0.4", "hyp.warmup=0",
+            "data.batch_size=2", "hyp.sub_batch=2",
+            f"impl.block_grouping={grouping}"])
+        model = _tiny_bn_model()
+        fns = make_train_functions(model, bundle, mesh, cfg)
+        variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                     bundle.channels)
+        state = fns.init_state(variables)
+        images, labels = stage_epoch(bundle, fns, mesh, cfg, 0, {})
+        grads, bn, metrics = fns.gradient_eval(state, images, labels,
+                                               with_modifiers=False)
+        results[grouping] = (jax.device_get(grads), jax.device_get(bn),
+                             jax.device_get(metrics))
+    g1, bn1, m1 = results[1]
+    g4, bn4, m4 = results[3]
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(bn1), jax.tree.leaves(bn4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(m1["train_loss"], m4["train_loss"], rtol=1e-5)
+    np.testing.assert_allclose(m1["grad_norm"], m4["grad_norm"], rtol=1e-4)
+
+
+def test_block_grouping_auto_resolution():
+    from fullbatchtraining_tpu.training.training import _resolve_block_grouping
+
+    assert _resolve_block_grouping("auto", 1563, 32) == 16  # ragged tail allowed
+    assert _resolve_block_grouping("auto", 390, 128) == 4   # 512//128
+    assert _resolve_block_grouping("auto", 4, 512) == 1
+    assert _resolve_block_grouping("auto", 2, 32) == 2      # capped by chunk count
+    assert _resolve_block_grouping(1, 100, 32) == 1
+    assert _resolve_block_grouping(8, 100, 32) == 8
+    assert _resolve_block_grouping(None, 100, 32) == 1
