@@ -1,0 +1,64 @@
+"""Worker for the 2-process CPU multi-host test (not a test module).
+
+Usage: python multihost_worker.py <process_id> <num_processes> <port> <outdir>
+
+Joins a jax.distributed CPU cluster with 2 local devices per process, runs
+one full-batch gradient evaluation over the global mesh, and (rank 0) saves
+the gradients + metrics. Exercises process_count>1 semantics: put_global
+staging via make_array_from_callback, replicated state placement, and the
+single psum over a mesh spanning non-addressable devices (reference
+multi-node surface: utils.py:88-97, train_distributed_multinode.sh).
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
+                                sys.argv[3], Path(sys.argv[4]))
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == 2 * nproc
+
+    import numpy as np
+
+    from fullbatchtraining_tpu.config import load_config
+    from fullbatchtraining_tpu.data import construct_databundle
+    from fullbatchtraining_tpu.models import construct_model, initialize_model
+    from fullbatchtraining_tpu.parallel import make_mesh
+    from fullbatchtraining_tpu.training.training import (make_train_functions,
+                                                         stage_epoch)
+
+    config_dir = Path(__file__).resolve().parent.parent / "config"
+    cfg = load_config(config_dir, overrides=[
+        "model=linear", "data.size=64", "data.path=/tmp/__none__",
+        "data.batch_size=4", "hyp.sub_batch=4", "hyp=fb1", "hyp.warmup=0",
+        "seed=0", "data.augmentations_train=", "hyp.shuffle=True"])
+    mesh = make_mesh(cfg.impl.setup)
+    bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+    model = construct_model(cfg.model, bundle.channels, bundle.classes)
+    fns = make_train_functions(model, bundle, mesh, cfg)
+    variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                 bundle.channels)
+    state = fns.init_state(variables)
+    images, labels = stage_epoch(bundle, fns, mesh, cfg, 0, {})
+    grads, _, metrics = fns.gradient_eval(state, images, labels,
+                                          with_modifiers=False)
+    flat = np.concatenate([np.asarray(jax.device_get(g)).ravel()
+                           for g in jax.tree.leaves(grads)])
+    if jax.process_index() == 0:
+        np.savez(outdir / "multiproc_grads.npz", grads=flat,
+                 loss=float(metrics["train_loss"]))
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Multi-process (multi-host-shaped) data-parallel semantics.
+
+Spawns two real OS processes that join a jax.distributed CPU cluster with
+2 devices each (global mesh of 4) and compares the accumulated full-batch
+gradient with a single-process 4-device run. This is the TPU-native stand-in
+for the reference's multi-node path (utils.py:88-97,
+train_distributed_multinode.sh:4-45) in an environment without a cluster.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from fullbatchtraining_tpu.config import load_config
+from fullbatchtraining_tpu.data import construct_databundle
+from fullbatchtraining_tpu.models import construct_model, initialize_model
+from fullbatchtraining_tpu.parallel import make_mesh
+from fullbatchtraining_tpu.training.training import (make_train_functions,
+                                                     stage_epoch)
+
+WORKER = Path(__file__).resolve().parent / "multihost_worker.py"
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_gradient_matches_single_process(config_dir, tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers configure their own device counts
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(WORKER), str(pid), "2", str(port), str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    multi = np.load(tmp_path / "multiproc_grads.npz")
+
+    # Single-process oracle on a 4-device mesh, same config as the worker.
+    cfg = load_config(config_dir, overrides=[
+        "model=linear", "data.size=64", "data.path=/tmp/__none__",
+        "data.batch_size=4", "hyp.sub_batch=4", "hyp=fb1", "hyp.warmup=0",
+        "seed=0", "data.augmentations_train=", "hyp.shuffle=True"])
+    mesh = make_mesh(cfg.impl.setup, devices=np.asarray(jax.devices()[:4]))
+    bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+    model = construct_model(cfg.model, bundle.channels, bundle.classes)
+    fns = make_train_functions(model, bundle, mesh, cfg)
+    variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                 bundle.channels)
+    state = fns.init_state(variables)
+    images, labels = stage_epoch(bundle, fns, mesh, cfg, 0, {})
+    grads, _, metrics = fns.gradient_eval(state, images, labels,
+                                          with_modifiers=False)
+    flat = np.concatenate([np.asarray(jax.device_get(g)).ravel()
+                           for g in jax.tree.leaves(grads)])
+
+    np.testing.assert_allclose(float(multi["loss"]),
+                               float(metrics["train_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(multi["grads"], flat, rtol=1e-4, atol=1e-6)
