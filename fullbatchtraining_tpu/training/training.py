@@ -803,8 +803,9 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
     stats = stats if stats is not None else defaultdict(list)
     start_step = 0
     if cfg.impl.checkpoint.name is not None:
-        state, start_step = load_checkpoint(state, cfg, max_steps=cfg.hyp.steps)
-    state = state.replace(step=jnp.asarray(start_step, jnp.int32))
+        state, start_step = load_checkpoint(state, cfg, max_steps=cfg.hyp.steps,
+                                            mesh=mesh)
+    state = state.replace(step=np.asarray(start_step, np.int32))
 
     cache: dict = {}
     val_data = stage_validation(bundle, mesh, fns.num_devices, bundle.batch_size,

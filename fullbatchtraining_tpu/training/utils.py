@@ -39,14 +39,22 @@ def save_checkpoint(state, cfg, file: Path | None = None) -> Path:
     return file
 
 
-def load_checkpoint(state, cfg, max_steps: int, file: Path | None = None):
+def load_checkpoint(state, cfg, max_steps: int, file: Path | None = None,
+                    mesh=None):
     """Restore into the given template state. Raises when the checkpoint is
-    already at max steps (reference training/utils.py:65-66)."""
+    already at max steps (reference training/utils.py:65-66).
+
+    Under process_count>1 (pass ``mesh``) the restored host arrays are
+    re-placed as replicated global arrays so the SPMD step accepts them."""
     file = file or _checkpoint_file(cfg)
     if not file.exists():
         log.info("No existing checkpoint found. Starting to train from step 0.")
         return state, 0
     restored = serialization.from_bytes(state, file.read_bytes())
+    if mesh is not None and jax.process_count() > 1:
+        from ..parallel.mesh import put_global, replicated
+        rep = replicated(mesh)
+        restored = jax.tree.map(lambda x: put_global(np.asarray(x), rep), restored)
     step = int(np.asarray(restored.step))
     if step >= max_steps:
         raise ValueError("Maximum step size reached. Terminating computations.")
