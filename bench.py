@@ -62,6 +62,18 @@ def main():
     num_blocks, chunks, sub = fns.layout
     images_per_step = num_blocks * chunks * sub * n_chips
 
+    # Step flops from XLA's own cost model. cost_analysis counts the
+    # lax.scan body ONCE, so multiply by the accumulation trip count
+    # (evidence chain in VALIDATION.md "MFU attribution").
+    step_flops = None
+    try:
+        ca = fns.full_step.lower(state, images, labels).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        trips = num_blocks * chunks  # sub_batch 2048 -> block_grouping resolves to 1
+        step_flops = float(ca["flops"]) * trips
+    except Exception:
+        pass
+
     # Warmup / compile
     state, metrics = fns.full_step(state, images, labels)
     jax.block_until_ready(metrics["train_loss"])
@@ -91,6 +103,14 @@ def main():
         "chips": n_chips,
         "platform": jax.default_backend(),
     }
+    if step_flops:
+        tfs = step_flops / step_time / 1e12
+        result["achieved_tflops_per_sec"] = round(tfs, 1)
+        peak = {"TPU v5 lite": 197.0, "TPU v4": 275.0,
+                "TPU v5p": 459.0, "TPU v6e": 918.0}.get(
+                    jax.devices()[0].device_kind)
+        if peak:
+            result["pct_bf16_peak"] = round(100.0 * tfs / peak, 1)
     print(json.dumps(result))
 
 
