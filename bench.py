@@ -64,18 +64,23 @@ def main():
 
     # Step flops from XLA's own cost model. cost_analysis counts the
     # lax.scan body ONCE, so multiply by the accumulation trip count
-    # (evidence chain in VALIDATION.md "MFU attribution").
+    # (evidence chain in VALIDATION.md "MFU attribution"). Only valid when
+    # block grouping is off (one chunk per trip); the AOT executable is
+    # reused for the timed runs so the step compiles exactly once.
+    step_fn = fns.full_step
     step_flops = None
     try:
-        ca = fns.full_step.lower(state, images, labels).compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        trips = num_blocks * chunks  # sub_batch 2048 -> block_grouping resolves to 1
-        step_flops = float(ca["flops"]) * trips
+        compiled = fns.full_step.lower(state, images, labels).compile()
+        step_fn = compiled
+        if fns.group == 1:
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            step_flops = float(ca["flops"]) * num_blocks * chunks
     except Exception:
-        pass
+        step_fn = fns.full_step
 
-    # Warmup / compile
-    state, metrics = fns.full_step(state, images, labels)
+    # Warmup
+    state, metrics = step_fn(state, images, labels)
     jax.block_until_ready(metrics["train_loss"])
 
     # The TPU tunnel's step timings are noisy; take the fastest of several
@@ -86,7 +91,7 @@ def main():
     times = []
     for _ in range(reps):
         start = time.perf_counter()
-        state, metrics = fns.full_step(state, images, labels)
+        state, metrics = step_fn(state, images, labels)
         jax.device_get(metrics["train_loss"])
         times.append(time.perf_counter() - start)
 

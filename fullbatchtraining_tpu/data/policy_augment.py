@@ -11,6 +11,15 @@ relative translations, reference :274-283, and the ``*Increasing`` family
 selected by ``-inc1`` specs, reference :483-518, :783-787) consumes draws
 from ``random`` / ``np.random`` in the reference's order, so seeding both
 identically yields byte-identical images (tests/test_policy_oracle.py).
+
+Documented deviation (reference bug fixed, per CLAUDE.md policy): a
+``-inc0`` spec selects the plain op set here, while the reference's
+``bool(str(val))`` quirk (auto_augment.py:889-890) treats ANY digit — even
+0 — as truthy and silently enables the Increasing set. Specs that spell
+``-inc0`` expecting the non-increasing ops get what they asked for here.
+``-w0`` weights are looked up by the default op-name list and applied
+positionally, exactly as the reference's _select_rand_weights does
+(:815-821, :900), so ``-inc1-w0`` composes.
 The AutoAugment policy tables (v0/v0r/original/originalr) are the published
 policy constants (arXiv:1805.09501 and the TF TPU EfficientNet repo).
 
@@ -215,7 +224,11 @@ def rand_augment_transform(spec: str, hparams: dict) -> Callable:
     choice_weights = None
     if weight_idx is not None:
         assert weight_idx == 0
-        probs = np.array([_RAND_CHOICE_WEIGHTS_0[k] for k in transforms])
+        # Reference _select_rand_weights is called WITHOUT the active
+        # transform list (auto_augment.py:815-821, :900), so the weights are
+        # always looked up by the DEFAULT op names and applied positionally —
+        # this keeps -inc1 -w0 specs working (same list order/length).
+        probs = np.array([_RAND_CHOICE_WEIGHTS_0[k] for k in _RAND_TRANSFORMS])
         choice_weights = probs / probs.sum()
     return _RandAugment(ops, num_layers, choice_weights)
 

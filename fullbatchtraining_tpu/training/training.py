@@ -73,8 +73,10 @@ def _resolve_block_grouping(spec, total_chunks: int, sub: int) -> int:
     small-block recipes (e.g. highreg's batch 32) tile onto the MXU instead
     of running hundreds of sequential tiny convolutions. Chunk counts that
     don't divide evenly leave a ragged tail that is accumulated sequentially;
-    1 disables grouping."""
-    if spec in (None, 0, 1, False):
+    1 disables grouping; a bare ``true`` means 'auto'."""
+    if spec is True:
+        spec = "auto"
+    if spec is None or spec is False or spec in (0, 1):
         return 1
     cap = max(1, 512 // max(sub, 1)) if spec == "auto" else int(spec)
     if spec == "auto":
@@ -124,6 +126,7 @@ class TrainFunctions:
     opt_update: Callable = None   # raw (grads, opt_state, params, lr) -> (params, opt_state)
     ema_step: Callable = None     # (state) -> state with EMA refreshed (no-op when off)
     block_gradient_eval: Callable = None  # per-block stochastic closure gradient
+    group: int = 1                # chunks per vmapped group in the accumulation scan
 
 
 def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFunctions:
@@ -619,6 +622,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         opt_update=opt_update,
         ema_step=jit(ema_step),
         block_gradient_eval=jit(block_gradient_eval, static_argnames=()),
+        group=group,
     )
 
 
@@ -693,8 +697,11 @@ def stage_epoch(bundle: DataBundle, fns: TrainFunctions, mesh: Mesh, cfg, step: 
 
     Static order (shuffle=False, no rounds) is device-put once and reused.
     shuffle=True keeps the epoch HBM-resident and permutes on device per step
-    (host fallback when disabled/multi-process); semi-stochastic picks bake
-    round step % rounds (reference construct_subset_dataloader semantics)."""
+    — including under multi-process, where every process computes the same
+    host-PRNG order (host-gather fallback only when impl.device_shuffle is
+    off, in semi-stochastic mode, or above device_shuffle_max_bytes);
+    semi-stochastic picks bake round step % rounds (reference
+    construct_subset_dataloader semantics)."""
     hyp = cfg.hyp
     num_blocks, chunks, sub = fns.layout
     semi = hyp.train_semi_stochastic and bundle.baked is not None

@@ -64,6 +64,8 @@ RAND_SPECS = [
     "rand-m7-n3-inc1",
     "rand-mstd101-n2-m9",   # mstd>100 -> uniform magnitude sampling
     "rand-m9-n2-w0",        # weighted op choice
+    "rand-m9-n2-inc1-w0",   # weighted choice over the Increasing set
+                            # (weights resolved positionally, reference :900)
     "rand-m12-mmax15-n2",   # magnitude above the default 10 cap
 ]
 
