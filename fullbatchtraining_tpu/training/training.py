@@ -127,6 +127,7 @@ class TrainFunctions:
     ema_step: Callable = None     # (state) -> state with EMA refreshed (no-op when off)
     block_gradient_eval: Callable = None  # per-block stochastic closure gradient
     group: int = 1                # chunks per vmapped group in the accumulation scan
+    streamed: bool = False        # epoch exceeds HBM budget: host-resident, segment-streamed
 
 
 def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFunctions:
@@ -145,6 +146,33 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         log.info("Accumulation scan groups %d chunks of %d samples per step "
                  "(vmapped; impl.block_grouping=%s)",
                  group, sub, impl.get("block_grouping", "auto"))
+
+    # Streamed mode: keep the epoch in host RAM when the laid-out epoch does
+    # not fit the HBM budget; segments are device_put ahead of the compute.
+    per_img_bytes = (int(np.prod(bundle.train.images.shape[1:]))
+                     * bundle.train.images.dtype.itemsize)
+    epoch_bytes = num_blocks * n_dev * chunks * sub * per_img_bytes
+    hbm_budget = int(impl.get("hbm_epoch_max_bytes", 8 << 30))
+    streamed = epoch_bytes > hbm_budget
+    if streamed:
+        if hyp.grad_reg.acc_strength:
+            raise NotImplementedError(
+                "grad_reg.acc_strength needs a full pre-pass over the data and "
+                "is not supported in streamed accumulation mode; raise "
+                "impl.hbm_epoch_max_bytes to keep the epoch HBM-resident.")
+        if hyp.train_stochastic or hyp.train_switch_stochastic is not None:
+            raise NotImplementedError(
+                "Stochastic mode keeps the epoch on device; raise "
+                "impl.hbm_epoch_max_bytes or reduce data size.")
+        block_bytes = n_dev * chunks * sub * per_img_bytes
+        seg_blocks_auto = max(1, (hbm_budget // 4) // max(block_bytes, 1))
+        seg_blocks_cfg = int(impl.get("stream_segment_blocks", 0) or 0)
+        stream_seg_blocks = min(num_blocks, seg_blocks_cfg or seg_blocks_auto)
+        log.info("Epoch (%.1f GB laid out) exceeds impl.hbm_epoch_max_bytes "
+                 "(%.1f GB): streamed accumulation in segments of %d blocks.",
+                 epoch_bytes / 2**30, hbm_budget / 2**30, stream_seg_blocks)
+    else:
+        stream_seg_blocks = num_blocks
 
     param_dtype = _DTYPES[impl.dtype]
     acc_dtype = _DTYPES[impl.accumulation_dtype]
@@ -204,31 +232,10 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
     # -------------------------------------------------------------------
     # Local (per-device) full-gradient accumulation, run under shard_map.
     # -------------------------------------------------------------------
-    def _local_accumulate(params, batch_stats, images, labels, key, lr):
-        """images: (blocks, 1, chunks, sub, H, W, C) local shard."""
-        images = images[:, 0]
-        labels = labels[:, 0]
-        dev = jax.lax.axis_index(DATA_AXIS)
-
-        pre_grads = None
-        if hyp.grad_reg.acc_strength != 0:
-            # Pre-pass over whole blocks (training.py:128-142); local, never reduced.
-            def pre_body(carry, xs):
-                pre, bidx = carry
-                blk_imgs, blk_lbls = xs
-                k = jax.random.fold_in(jax.random.fold_in(key, dev), 7_000_000 + bidx)
-                flat_imgs = blk_imgs.reshape(-1, *blk_imgs.shape[2:])
-                flat_lbls = blk_lbls.reshape(-1)
-                (_, _), grads = grad_chunk(params, batch_stats, flat_imgs, flat_lbls, k)
-                grads = jax.tree.map(lambda g: g.astype(acc_dtype), grads)
-                if batch_clip is not None:
-                    grads, _, _ = tree_clip_by_norm(grads, batch_clip, clip_norm_type)
-                counter = (n_dev * (bidx + 1)).astype(acc_dtype)
-                pre = jax.tree.map(lambda a, g: a + (g - a) / counter, pre, grads)
-                return (pre, bidx + 1), None
-            zeros = jax.tree.map(lambda p: jnp.zeros_like(p, acc_dtype), params)
-            (pre_grads, _), _ = jax.lax.scan(pre_body, (zeros, jnp.zeros((), jnp.int32)),
-                                             (images, labels))
+    def _make_bodies(params, key, lr, pre_grads, dev):
+        """Scan bodies for the accumulation sweep. The carry's last element is
+        the ABSOLUTE chunk index, so a sweep can be split into segments that
+        continue each other's carry exactly (streamed accumulation)."""
 
         def chunk_body(carry, xs):
             avg, bn, sloss, spreds, cidx = carry
@@ -256,9 +263,9 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
             streaming-mean counter, sequential BN running-stat EMA) are
             preserved exactly; only the reduction order inside each conv
             changes, as with any batch-size change."""
-            avg, bn_in, sloss, spreds, gidx = carry
+            avg, bn_in, sloss, spreds, cidx0 = carry
             grp_imgs, grp_lbls = xs  # (group, sub, ...)
-            cidx = gidx * group + jnp.arange(group, dtype=jnp.int32)
+            cidx = cidx0 + jnp.arange(group, dtype=jnp.int32)
             keys = jax.vmap(lambda c: jax.random.fold_in(jax.random.fold_in(key, dev), c))(cidx)
             (losses, (bns, corrects)), grads = jax.vmap(
                 grad_chunk, in_axes=(None, None, 0, 0, 0))(
@@ -277,7 +284,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
             def fold(c, ys):
                 a, r, j = c
                 g, b = ys
-                counter = (n_dev * (gidx * group + j + 1)).astype(acc_dtype)
+                counter = (n_dev * (cidx0 + j + 1)).astype(acc_dtype)
                 a = jax.tree.map(lambda x, y: x + (y - x) / counter, a, g)
                 # Each vmapped update is b_j = m*r_in + (1-m)*s_j; the exact
                 # sequential EMA is r <- m*r + (b_j - m*r_in).
@@ -291,36 +298,70 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
                 fold, (avg, bn_in, jnp.zeros((), jnp.int32)), (grads, bns))
             sloss = sloss + jnp.sum(losses / chunks)
             spreds = spreds + corrects.sum()
-            return (avg, bn_out, sloss, spreds, gidx + 1), (sq_norms, flags)
+            return (avg, bn_out, sloss, spreds, cidx0 + group), (sq_norms, flags)
 
+        return chunk_body, group_body
+
+    def _run_chunks(bodies, init, flat_imgs, flat_lbls):
+        """Run the (possibly grouped) accumulation scan over flat chunks,
+        continuing ``init``'s absolute chunk index. Returns (carry,
+        grad_norms, clipped_flags) with per-chunk leading axes."""
+        chunk_body, group_body = bodies
+        seg_chunks = flat_imgs.shape[0]
+        if group > 1 and seg_chunks >= group:
+            n_groups, rem = divmod(seg_chunks, group)
+            head = n_groups * group
+            gi = flat_imgs[:head].reshape(n_groups, group, *flat_imgs.shape[1:])
+            gl = flat_lbls[:head].reshape(n_groups, group, *flat_lbls.shape[1:])
+            carry, (grad_norms, clipped_flags) = jax.lax.scan(group_body, init, (gi, gl))
+            grad_norms = grad_norms.reshape(-1)
+            clipped_flags = clipped_flags.reshape(-1)
+            if rem:
+                # Ragged tail: continue the same carry sequentially (the carry
+                # holds the absolute chunk index, so counters are unchanged).
+                carry, (tail_norms, tail_flags) = jax.lax.scan(
+                    chunk_body, carry, (flat_imgs[head:], flat_lbls[head:]))
+                grad_norms = jnp.concatenate([grad_norms, tail_norms])
+                clipped_flags = jnp.concatenate([clipped_flags, tail_flags])
+        else:
+            carry, (grad_norms, clipped_flags) = jax.lax.scan(
+                chunk_body, init, (flat_imgs, flat_lbls))
+        return carry, grad_norms, clipped_flags
+
+    def _local_accumulate(params, batch_stats, images, labels, key, lr):
+        """images: (blocks, 1, chunks, sub, H, W, C) local shard."""
+        images = images[:, 0]
+        labels = labels[:, 0]
+        dev = jax.lax.axis_index(DATA_AXIS)
+
+        pre_grads = None
+        if hyp.grad_reg.acc_strength != 0:
+            # Pre-pass over whole blocks (training.py:128-142); local, never reduced.
+            def pre_body(carry, xs):
+                pre, bidx = carry
+                blk_imgs, blk_lbls = xs
+                k = jax.random.fold_in(jax.random.fold_in(key, dev), 7_000_000 + bidx)
+                flat_imgs = blk_imgs.reshape(-1, *blk_imgs.shape[2:])
+                flat_lbls = blk_lbls.reshape(-1)
+                (_, _), grads = grad_chunk(params, batch_stats, flat_imgs, flat_lbls, k)
+                grads = jax.tree.map(lambda g: g.astype(acc_dtype), grads)
+                if batch_clip is not None:
+                    grads, _, _ = tree_clip_by_norm(grads, batch_clip, clip_norm_type)
+                counter = (n_dev * (bidx + 1)).astype(acc_dtype)
+                pre = jax.tree.map(lambda a, g: a + (g - a) / counter, pre, grads)
+                return (pre, bidx + 1), None
+            zeros = jax.tree.map(lambda p: jnp.zeros_like(p, acc_dtype), params)
+            (pre_grads, _), _ = jax.lax.scan(pre_body, (zeros, jnp.zeros((), jnp.int32)),
+                                             (images, labels))
+
+        bodies = _make_bodies(params, key, lr, pre_grads, dev)
         flat_imgs = images.reshape(num_blocks * chunks, sub, *images.shape[3:])
         flat_lbls = labels.reshape(num_blocks * chunks, sub)
         zeros = jax.tree.map(lambda p: jnp.zeros_like(p, acc_dtype), params)
         init = (zeros, batch_stats, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
                 jnp.zeros((), jnp.int32))
-        total_chunks = num_blocks * chunks
-        if group > 1:
-            n_groups, rem = divmod(total_chunks, group)
-            head = n_groups * group
-            gi = flat_imgs[:head].reshape(n_groups, group, sub, *images.shape[3:])
-            gl = flat_lbls[:head].reshape(n_groups, group, sub)
-            carry, (grad_norms, clipped_flags) = jax.lax.scan(group_body, init, (gi, gl))
-            grad_norms = grad_norms.reshape(-1)
-            clipped_flags = clipped_flags.reshape(-1)
-            avg, bn, step_loss, step_preds, _ = carry
-            if rem:
-                # Ragged tail: continue the same carry sequentially from
-                # global chunk index ``head`` (counter semantics unchanged).
-                tail_init = (avg, bn, step_loss, step_preds,
-                             jnp.asarray(head, jnp.int32))
-                (avg, bn, step_loss, step_preds, _), (tail_norms, tail_flags) = (
-                    jax.lax.scan(chunk_body, tail_init,
-                                 (flat_imgs[head:], flat_lbls[head:])))
-                grad_norms = jnp.concatenate([grad_norms, tail_norms])
-                clipped_flags = jnp.concatenate([clipped_flags, tail_flags])
-        else:
-            (avg, bn, step_loss, step_preds, _), (grad_norms, clipped_flags) = jax.lax.scan(
-                chunk_body, init, (flat_imgs, flat_lbls))
+        (avg, bn, step_loss, step_preds, _), grad_norms, clipped_flags = _run_chunks(
+            bodies, init, flat_imgs, flat_lbls)
 
         # ---- stats, mirroring _record_stats (training.py:86-119) ----
         param_norm = tree_sqnorm(params)
@@ -355,6 +396,118 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         in_specs=(P(), P(), data_spec, data_spec, P(), P()),
         out_specs=(P(), P(), P(), P(DATA_AXIS)),
         check_vma=False)
+
+    # -------------------------------------------------------------------
+    # Streamed accumulation: epochs larger than HBM. The reference streams
+    # ImageNet-scale data through DataLoader workers (data_preparation.py:68);
+    # here the epoch stays in host RAM and block segments are device_put
+    # ahead of the compute while the accumulation carry (per-device partial
+    # mean, BN stats, counters) threads through one jitted program per
+    # segment. The optimizer step still performs exactly ONE psum, in the
+    # finalize program. Enabled when the laid-out epoch exceeds
+    # impl.hbm_epoch_max_bytes; acc_strength grad-reg needs a second full
+    # pass over the data and is not supported streamed.
+    # -------------------------------------------------------------------
+    carry_spec = P(DATA_AXIS)  # every carry leaf device-stacked on axis 0
+
+    def _local_segment(params, carry, images, labels, key, lr, cidx0):
+        images = images[:, 0]
+        labels = labels[:, 0]
+        dev = jax.lax.axis_index(DATA_AXIS)
+        avg, bn, sloss, spreds, sq_sum, clip_sum = jax.tree.map(lambda x: x[0], carry)
+        bodies = _make_bodies(params, key, lr, None, dev)
+        flat_imgs = images.reshape(-1, sub, *images.shape[3:])
+        flat_lbls = labels.reshape(-1, sub)
+        init = (avg, bn, sloss, spreds, cidx0)
+        (avg, bn, sloss, spreds, _), grad_norms, clipped = _run_chunks(
+            bodies, init, flat_imgs, flat_lbls)
+        out = (avg, bn, sloss, spreds, sq_sum + grad_norms.sum(),
+               clip_sum + clipped.sum())
+        return jax.tree.map(lambda x: x[None], out), grad_norms[None]
+
+    sharded_segment = jax.shard_map(
+        _local_segment, mesh=mesh,
+        in_specs=(P(), carry_spec, data_spec, data_spec, P(), P(), P()),
+        out_specs=(carry_spec, P(DATA_AXIS)),
+        check_vma=False)
+    if impl.jit:
+        sharded_segment = jax.jit(sharded_segment, donate_argnums=(1,))
+
+    def _local_stream_finalize(params, carry, lr):
+        avg, bn, step_loss, step_preds, sq_sum, clip_sum = jax.tree.map(
+            lambda x: x[0], carry)
+        param_norm = tree_sqnorm(params)
+        full_grad_norm = sq_sum / (num_blocks * chunks)
+        full_loss = step_loss / num_blocks + 0.5 * weight_decay * param_norm
+        if hyp.grad_reg.block_strength != 0:
+            full_loss += lr / 4 * hyp.grad_reg.block_strength * full_grad_norm
+        scalars = jnp.stack([step_loss, step_preds, full_loss, full_grad_norm,
+                             clip_sum])
+        avg, bn_sum, package = jax.lax.psum((avg, bn, scalars), DATA_AXIS)
+        bn = jax.tree.map(lambda b: b / n_dev, bn_sum) if bn else bn
+        step_loss, step_preds, full_loss, full_grad_norm, clipped_batches = package
+        metrics = {
+            "train_loss": step_loss / num_blocks / n_dev,
+            "train_acc": step_preds / (num_blocks * chunks * sub * n_dev),
+            "param_norm": param_norm,
+            "grad_norm": jnp.sqrt(full_grad_norm) / n_dev,
+            "full_loss": full_loss / n_dev,
+            "clipped_batches": clipped_batches,
+        }
+        return avg, bn, metrics
+
+    sharded_stream_finalize = jax.shard_map(
+        _local_stream_finalize, mesh=mesh,
+        in_specs=(P(), carry_spec, P()), out_specs=(P(), P(), P()),
+        check_vma=False)
+    if impl.jit:
+        sharded_stream_finalize = jax.jit(sharded_stream_finalize,
+                                          donate_argnums=(1,))
+
+    def _init_stream_carry(params, batch_stats):
+        def stack(leaf, dtype=None):
+            x = jnp.asarray(leaf)
+            x = x.astype(dtype) if dtype else x
+            return jnp.broadcast_to(x, (n_dev, *x.shape))
+        avg = jax.tree.map(lambda p: jnp.zeros((n_dev, *p.shape), acc_dtype), params)
+        bn = jax.tree.map(stack, batch_stats)
+        z = jnp.zeros((n_dev,), jnp.float32)
+        return (avg, bn, z, z, z, z)
+
+    if impl.jit:
+        from jax.sharding import NamedSharding
+        _init_stream_carry = jax.jit(
+            _init_stream_carry,
+            out_shardings=NamedSharding(mesh, carry_spec))
+
+    seg_blocks = stream_seg_blocks
+
+    def streamed_gradient(state: TrainState, host_images, host_labels):
+        """One full-batch gradient via per-segment programs over host-resident
+        layout arrays. Returns (grads, bn, metrics, per-chunk grad norms)."""
+        lr = schedule(state.step)
+        key = _seed_key(state.step)
+        carry = _init_stream_carry(state.params, state.batch_stats)
+        norm_parts = []
+        cidx0 = 0
+        staged_next = shard_epoch_arrays(mesh, host_images[:seg_blocks],
+                                         host_labels[:seg_blocks])
+        for start in range(0, num_blocks, seg_blocks):
+            dimgs, dlbls = staged_next
+            nxt = start + seg_blocks
+            if nxt < num_blocks:
+                # Prefetch the next segment while this one computes.
+                staged_next = shard_epoch_arrays(
+                    mesh, host_images[nxt:nxt + seg_blocks],
+                    host_labels[nxt:nxt + seg_blocks])
+            carry, gn = sharded_segment(state.params, carry, dimgs, dlbls, key,
+                                        lr, np.asarray(cidx0, np.int32))
+            norm_parts.append(gn)
+            cidx0 += dimgs.shape[0] * chunks
+        grads, bn, metrics = sharded_stream_finalize(state.params, carry, lr)
+        norms = (norm_parts[0] if len(norm_parts) == 1
+                 else jnp.concatenate(norm_parts, axis=1))
+        return grads, bn, metrics, norms
 
     # -------------------------------------------------------------------
     # Gradient modifiers on the full averaged gradient (training.py:187-215)
@@ -418,6 +571,24 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
                                   opt_state=opt_state, ema_params=ema_p,
                                   ema_batch_stats=ema_b)
         return new_state, metrics
+
+    def _finish_step(state: TrainState, grads, bn, metrics, norms):
+        """Post-accumulation half of full_step for the streamed path."""
+        lr = schedule(state.step)
+        key = _seed_key(state.step)
+        grads, metrics = modify_gradient(grads, state.params, key, metrics)
+        params, opt_state = opt_update(grads, state.opt_state, state.params, lr)
+        ema_p, ema_b = ema_update(state, params, bn)
+        metrics["lr"] = lr
+        metrics["grad_norms_per_chunk"] = jnp.sqrt(norms)
+        new_state = state.replace(step=state.step + 1, params=params, batch_stats=bn,
+                                  opt_state=opt_state, ema_params=ema_p,
+                                  ema_batch_stats=ema_b)
+        return new_state, metrics
+
+    def _apply_modifiers(state: TrainState, grads, metrics):
+        key = _seed_key(state.step)
+        return modify_gradient(grads, state.params, key, metrics)
 
     # -------------------------------------------------------------------
     # Stochastic sanity-check mode (training.py:241-286): one jitted epoch.
@@ -609,11 +780,29 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
 
     donate = (0,) if impl.donate_state else ()
     jit = (lambda f, **kw: jax.jit(f, **kw)) if impl.jit else (lambda f, **kw: f)
+
+    finish_step = jit(_finish_step, donate_argnums=donate)
+    apply_modifiers = jit(_apply_modifiers)
+
+    def full_step_streamed(state: TrainState, host_images, host_labels):
+        grads, bn, metrics, norms = streamed_gradient(state, host_images,
+                                                      host_labels)
+        return finish_step(state, grads, bn, metrics, norms)
+
+    def gradient_eval_streamed(state: TrainState, host_images, host_labels,
+                               with_modifiers: bool = True):
+        grads, bn, metrics, _ = streamed_gradient(state, host_images, host_labels)
+        if with_modifiers:
+            grads, metrics = apply_modifiers(state, grads, metrics)
+        return grads, bn, metrics
+
     return TrainFunctions(
-        full_step=jit(full_step, donate_argnums=donate),
+        full_step=(full_step_streamed if streamed
+                   else jit(full_step, donate_argnums=donate)),
         stochastic_step=jit(stochastic_step, donate_argnums=donate),
         eval_step=jit(eval_step),
-        gradient_eval=jit(gradient_eval, static_argnames=("with_modifiers",)),
+        gradient_eval=(gradient_eval_streamed if streamed
+                       else jit(gradient_eval, static_argnames=("with_modifiers",))),
         init_state=init_state,
         schedule=schedule,
         layout=(num_blocks, chunks, sub),
@@ -623,6 +812,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         ema_step=jit(ema_step),
         block_gradient_eval=jit(block_gradient_eval, static_argnames=()),
         group=group,
+        streamed=streamed,
     )
 
 
@@ -720,7 +910,7 @@ def stage_epoch(bundle: DataBundle, fns: TrainFunctions, mesh: Mesh, cfg, step: 
         order = _epoch_order(cfg, step, len(images))
         # Multi-process is fine: every process computes the same host-PRNG
         # order and put_global/jit handle non-addressable devices.
-        device_ok = (not semi
+        device_ok = (not semi and not fns.streamed
                      and bool(cfg.impl.get("device_shuffle", True))
                      and images.nbytes <= int(cfg.impl.get(
                          "device_shuffle_max_bytes", 8 << 30)))
@@ -736,7 +926,11 @@ def stage_epoch(bundle: DataBundle, fns: TrainFunctions, mesh: Mesh, cfg, step: 
         labels = labels[order]
 
     li, ll = layout_epoch(images, labels, num_blocks, chunks, sub, fns.num_devices)
-    staged = shard_epoch_arrays(mesh, li, ll)
+    if fns.streamed:
+        # Host-resident layout: the streamed step device_puts segments itself.
+        staged = (li, ll)
+    else:
+        staged = shard_epoch_arrays(mesh, li, ll)
     if not semi and not shuffled:
         cache["static"] = staged
     return staged

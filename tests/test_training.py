@@ -323,3 +323,53 @@ def test_block_grouping_auto_resolution():
     assert _resolve_block_grouping(1, 100, 32) == 1
     assert _resolve_block_grouping(8, 100, 32) == 8
     assert _resolve_block_grouping(None, 100, 32) == 1
+
+
+def test_streamed_accumulation_matches_resident(config_dir):
+    """Epochs over the HBM budget stream through per-segment programs; the
+    accumulated gradient, BN stats, and metrics match the HBM-resident path
+    (carry threads the absolute chunk index, one psum in finalize)."""
+    results = {}
+    for budget in ("resident", "streamed"):
+        overrides = ["data.augmentations_train=", "hyp.grad_reg.block_strength=0.5",
+                     "hyp.batch_clip=0.25", "data.batch_size=2", "hyp.sub_batch=2",
+                     "hyp.optim.lr=0.4", "hyp.warmup=0"]
+        if budget == "streamed":
+            # ~3 blocks per segment: 8 blocks -> 2 full segments + remainder
+            overrides += ["impl.hbm_epoch_max_bytes=1",
+                          "impl.stream_segment_blocks=3"]
+        cfg, mesh, bundle, _ = _setup(config_dir, overrides)
+        model = _tiny_bn_model()
+        fns = make_train_functions(model, bundle, mesh, cfg)
+        assert fns.streamed == (budget == "streamed")
+        variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                     bundle.channels)
+        state = fns.init_state(variables)
+        images, labels = stage_epoch(bundle, fns, mesh, cfg, 0, {})
+        grads, bn, metrics = fns.gradient_eval(state, images, labels,
+                                               with_modifiers=False)
+        results[budget] = (jax.device_get(grads), jax.device_get(bn),
+                          jax.device_get(metrics))
+    g0, bn0, m0 = results["resident"]
+    g1, bn1, m1 = results["streamed"]
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(bn0), jax.tree.leaves(bn1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+    for k in ("train_loss", "train_acc", "grad_norm", "full_loss", "clipped_batches"):
+        np.testing.assert_allclose(m0[k], m1[k], rtol=1e-5, err_msg=k)
+
+
+def test_streamed_training_runs(config_dir):
+    """train() end-to-end in streamed mode (full_step path incl. modifiers,
+    optimizer, EMA off, eval) matches the resident trajectory."""
+    traces = {}
+    for budget in ("resident", "streamed"):
+        overrides = ["hyp.steps=3", "data.augmentations_train=",
+                     "hyp.optim.lr=0.05", "hyp.shuffle=True"]
+        if budget == "streamed":
+            overrides += ["impl.hbm_epoch_max_bytes=1"]
+        cfg, mesh, bundle, model = _setup(config_dir, overrides)
+        state, stats = train(model, bundle, mesh, cfg)
+        traces[budget] = stats["train_loss"]
+    np.testing.assert_allclose(traces["resident"], traces["streamed"], rtol=1e-5)
