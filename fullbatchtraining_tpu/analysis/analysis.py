@@ -116,6 +116,11 @@ def analyze(model, bundle, mesh, cfg, fns, state, stats, grads=None):
                 float(jnp.vdot(g, m) / (jnp.linalg.norm(g) * jnp.linalg.norm(m) + 1e-12))]
 
     if a.compute_gradient_SNR or a.compute_gradient_noise_scale or a.record_gradient_norm_per_batch:
+        if fns.streamed:
+            log.warning("Gradient-SNR analysis stages the FULL epoch in HBM; "
+                        "the training step is in streamed mode because the "
+                        "epoch exceeds impl.hbm_epoch_max_bytes, so this may "
+                        "OOM on large datasets.")
         n_dev = fns.num_devices
         a_chunks = max(int(a.internal_batch_size_chunks), 1)
         sub = max(bundle.batch_size // a_chunks, 1)
