@@ -1,6 +1,6 @@
 """Worker for the 2-process CPU multi-host test (not a test module).
 
-Usage: python multihost_worker.py <process_id> <num_processes> <port> <outdir>
+Usage: python multihost_worker.py <process_id> <num_processes> <port> <outdir> [extra_override ...]
 
 Joins a jax.distributed CPU cluster with 2 local devices per process, runs
 one full-batch gradient evaluation over the global mesh, and (rank 0) saves
@@ -19,6 +19,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main():
     pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
                                 sys.argv[3], Path(sys.argv[4]))
+    extra = list(sys.argv[5:])
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -41,7 +42,7 @@ def main():
     cfg = load_config(config_dir, overrides=[
         "model=linear", "data.size=64", "data.path=/tmp/__none__",
         "data.batch_size=4", "hyp.sub_batch=4", "hyp=fb1", "hyp.warmup=0",
-        "seed=0", "data.augmentations_train=", "hyp.shuffle=True"])
+        "seed=0", "data.augmentations_train=", "hyp.shuffle=True"] + extra)
     mesh = make_mesh(cfg.impl.setup)
     bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
     model = construct_model(cfg.model, bundle.channels, bundle.classes)

@@ -69,3 +69,45 @@ def test_two_process_gradient_matches_single_process(config_dir, tmp_path):
     np.testing.assert_allclose(float(multi["loss"]),
                                float(metrics["train_loss"]), rtol=1e-5)
     np.testing.assert_allclose(multi["grads"], flat, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_streamed_accumulation(config_dir, tmp_path):
+    """Streamed accumulation composes with process_count>1: per-segment
+    put_global staging, the device-stacked carry sharded across processes,
+    and the single psum in the finalize program."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    extra = ["impl.hbm_epoch_max_bytes=1", "impl.stream_segment_blocks=2",
+             "hyp.shuffle=False"]
+    procs = [subprocess.Popen(
+        [sys.executable, str(WORKER), str(pid), "2", str(port), str(tmp_path)]
+        + extra,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    multi = np.load(tmp_path / "multiproc_grads.npz")
+
+    cfg = load_config(config_dir, overrides=[
+        "model=linear", "data.size=64", "data.path=/tmp/__none__",
+        "data.batch_size=4", "hyp.sub_batch=4", "hyp=fb1", "hyp.warmup=0",
+        "seed=0", "data.augmentations_train=", "hyp.shuffle=False"])
+    mesh = make_mesh(cfg.impl.setup, devices=np.asarray(jax.devices()[:4]))
+    bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+    model = construct_model(cfg.model, bundle.channels, bundle.classes)
+    fns = make_train_functions(model, bundle, mesh, cfg)
+    variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                 bundle.channels)
+    state = fns.init_state(variables)
+    images, labels = stage_epoch(bundle, fns, mesh, cfg, 0, {})
+    grads, _, metrics = fns.gradient_eval(state, images, labels,
+                                          with_modifiers=False)
+    flat = np.concatenate([np.asarray(jax.device_get(g)).ravel()
+                           for g in jax.tree.leaves(grads)])
+    np.testing.assert_allclose(float(multi["loss"]),
+                               float(metrics["train_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(multi["grads"], flat, rtol=1e-4, atol=1e-6)
