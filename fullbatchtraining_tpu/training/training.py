@@ -28,6 +28,17 @@ Deviations from the reference, documented:
   pmean, which is the intended semantics.
 * The extra gradient evaluations of finite-difference grad-reg do not mutate
   BN running stats (a side effect of torch's train-mode forward passes).
+* REFERENCE BUG FIXED: the reference's streaming mean uses counter
+  num_machines*(chunk_index+1) per machine and then all-reduce-SUMs
+  (training.py:168, training/utils.py:31-41). The pre-division by
+  num_machines inside the rescaling recurrence does NOT commute with the
+  final sum: for num_machines>1 and more than one chunk per machine the
+  result overweights early chunks and overscales the total (measured 46%
+  max relative gradient error at 2 chunks/device x 8 devices). Exact for
+  one machine - which is how the paper's single-GPU results were run. We
+  accumulate the exact LOCAL mean (counter = chunk_index+1) and divide by
+  n_dev after the single psum; the multi-device gradient now equals the
+  true dataset mean (tests: sharding invariance at multiple chunks/device).
 """
 
 from __future__ import annotations
@@ -250,7 +261,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
             if batch_clip is not None:
                 grads, clipped, _ = tree_clip_by_norm(grads, batch_clip, clip_norm_type)
                 was_clipped = clipped.astype(jnp.float32)
-            counter = (n_dev * (cidx + 1)).astype(acc_dtype)
+            counter = (cidx + 1).astype(acc_dtype)
             avg = jax.tree.map(lambda a, g: a + (g - a) / counter, avg, grads)
             sloss = sloss + loss / chunks
             spreds = spreds + correct
@@ -284,7 +295,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
             def fold(c, ys):
                 a, r, j = c
                 g, b = ys
-                counter = (n_dev * (cidx0 + j + 1)).astype(acc_dtype)
+                counter = (cidx0 + j + 1).astype(acc_dtype)
                 a = jax.tree.map(lambda x, y: x + (y - x) / counter, a, g)
                 # Each vmapped update is b_j = m*r_in + (1-m)*s_j; the exact
                 # sequential EMA is r <- m*r + (b_j - m*r_in).
@@ -347,7 +358,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
                 grads = jax.tree.map(lambda g: g.astype(acc_dtype), grads)
                 if batch_clip is not None:
                     grads, _, _ = tree_clip_by_norm(grads, batch_clip, clip_norm_type)
-                counter = (n_dev * (bidx + 1)).astype(acc_dtype)
+                counter = (bidx + 1).astype(acc_dtype)
                 pre = jax.tree.map(lambda a, g: a + (g - a) / counter, pre, grads)
                 return (pre, bidx + 1), None
             zeros = jax.tree.map(lambda p: jnp.zeros_like(p, acc_dtype), params)
@@ -377,6 +388,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         scalars = jnp.stack([step_loss, step_preds, full_loss, full_grad_norm,
                              clipped_flags.sum()])
         avg, bn_sum, package = jax.lax.psum((avg, bn, scalars), DATA_AXIS)
+        avg = jax.tree.map(lambda a: a / n_dev, avg)
         bn = jax.tree.map(lambda b: b / n_dev, bn_sum) if bn else bn
 
         step_loss, step_preds, full_loss, full_grad_norm, clipped_batches = package
@@ -444,6 +456,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         scalars = jnp.stack([step_loss, step_preds, full_loss, full_grad_norm,
                              clip_sum])
         avg, bn_sum, package = jax.lax.psum((avg, bn, scalars), DATA_AXIS)
+        avg = jax.tree.map(lambda a: a / n_dev, avg)
         bn = jax.tree.map(lambda b: b / n_dev, bn_sum) if bn else bn
         step_loss, step_preds, full_loss, full_grad_norm, clipped_batches = package
         metrics = {

@@ -42,7 +42,10 @@ def test_sharding_invariance(config_dir):
     (reference parity: N GPUs vs 1 GPU produce the same mean gradient)."""
     results = {}
     for n_dev in (1, 8):
-        cfg, _, bundle, model = _setup(config_dir, ["data.augmentations_train="])
+        # batch 8 -> 2 blocks on 8 devices: multiple chunks per device, the
+        # regime where the reference's counter formula was biased (fixed).
+        cfg, _, bundle, model = _setup(config_dir, [
+            "data.augmentations_train=", "data.batch_size=8", "hyp.sub_batch=8"])
         mesh = make_mesh(cfg.impl.setup, devices=np.asarray(jax.devices()[:n_dev]))
         fns = make_train_functions(model, bundle, mesh, cfg)
         variables = initialize_model(model, jax.random.key(0), bundle.pixels,
@@ -59,8 +62,10 @@ def test_sharding_invariance(config_dir):
 
 
 def test_streaming_mean_equals_direct_mean(config_dir):
-    """The stable streaming accumulation equals the plain mean over chunks."""
-    cfg, mesh, bundle, model = _setup(config_dir, ["data.augmentations_train="])
+    """The stable streaming accumulation equals the plain mean over chunks —
+    including with multiple chunks per device (reference counter bug fixed)."""
+    cfg, mesh, bundle, model = _setup(config_dir, [
+        "data.augmentations_train=", "data.batch_size=4", "hyp.sub_batch=4"])
     fns = make_train_functions(model, bundle, mesh, cfg)
     variables = initialize_model(model, jax.random.key(0), bundle.pixels,
                                  bundle.channels)
