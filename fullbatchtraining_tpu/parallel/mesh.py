@@ -25,10 +25,19 @@ DATA_AXIS = "data"
 
 
 def setup_distributed(cfg_setup) -> None:
-    """Join the multi-host job if configured (impl/setup=distributed)."""
+    """Join the multi-host job if configured (impl/setup=distributed).
+
+    Must run BEFORE anything touches a JAX backend: jax.process_count() /
+    jax.devices() initialize XLA as a side effect, after which
+    jax.distributed.initialize raises. The idempotence check therefore uses
+    the distributed client state, not a backend query; with no explicit
+    coordinator configured, initialize() auto-detects cluster environments
+    (TPU pods, SLURM) — the reference's env:// / SLURM rendezvous
+    (utils.py:30-35, :88-95)."""
     if not cfg_setup.dist:
         return
-    if jax.process_count() > 1:
+    from jax._src.distributed import global_state
+    if global_state.client is not None:
         return  # already initialized by the launcher
     kwargs = {}
     if cfg_setup.get("url"):
@@ -37,8 +46,12 @@ def setup_distributed(cfg_setup) -> None:
         kwargs["num_processes"] = int(cfg_setup.world_size)
     if cfg_setup.get("rank") is not None:
         kwargs["process_id"] = int(cfg_setup.rank)
-    if kwargs:
+    try:
         jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError) as err:
+        # No cluster environment to auto-detect (single-process run with
+        # impl/setup=distributed), or backends already initialized.
+        log.warning("jax.distributed.initialize skipped: %s", err)
 
 
 def make_mesh(cfg_setup=None, devices=None) -> Mesh:

@@ -24,10 +24,6 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 2)
-    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
-                               num_processes=nproc, process_id=pid)
-    assert jax.process_count() == nproc
-    assert len(jax.devices()) == 2 * nproc
 
     import numpy as np
 
@@ -38,11 +34,20 @@ def main():
     from fullbatchtraining_tpu.training.training import (make_train_functions,
                                                          stage_epoch)
 
+
     config_dir = Path(__file__).resolve().parent.parent / "config"
     cfg = load_config(config_dir, overrides=[
         "model=linear", "data.size=64", "data.path=/tmp/__none__",
         "data.batch_size=4", "hyp.sub_batch=4", "hyp=fb1", "hyp.warmup=0",
-        "seed=0", "data.augmentations_train=", "hyp.shuffle=True"] + extra)
+        "seed=0", "data.augmentations_train=", "hyp.shuffle=True",
+        "impl/setup=distributed", f"impl.setup.url=localhost:{port}",
+        f"impl.setup.world_size={nproc}", f"impl.setup.rank={pid}"] + extra)
+    # Join the cluster through the production path (mesh.setup_distributed),
+    # which must run before any backend-touching call.
+    from fullbatchtraining_tpu.parallel.mesh import setup_distributed
+    setup_distributed(cfg.impl.setup)
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == 2 * nproc
     mesh = make_mesh(cfg.impl.setup)
     bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
     model = construct_model(cfg.model, bundle.channels, bundle.classes)
