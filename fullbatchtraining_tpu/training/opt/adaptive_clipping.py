@@ -11,6 +11,11 @@ Two reference defects fixed per SURVEY.md §7 (document, fix):
   (adaptive_clipping.py:39-42);
 * the non-clipping path after warmup returned without calling the optimizer
   step at all (adaptive_clipping.py:70-74). Here every update steps.
+
+Matching reference semantics kept: spiked (clipped) norms are NOT recorded
+into the history (the reference only appends in the non-clipping branches,
+adaptive_clipping.py:62-74), so one spike cannot poison the window and
+disable clipping for the next ``interval`` steps.
 """
 
 from __future__ import annotations
@@ -56,12 +61,18 @@ def adaptive_clipped_sgd(cfg_optim, mask=None):
         norm = grad_norm(grads).astype(jnp.float32)
         warm = state.count >= interval
         recent_max = jnp.max(state.norm_history)
-        scale = jnp.where(warm & (norm >= recent_max),
-                          recent_max / (norm + 1e-6), 1.0)
+        clipped = warm & (norm >= recent_max)
+        scale = jnp.where(clipped, recent_max / (norm + 1e-6), 1.0)
         grads = tree_scale(grads, scale)
-        history = state.norm_history.at[state.count % interval].set(norm)
+        # Record only non-clipped norms (reference appends norms solely in
+        # the non-clipping branches): the window tracks typical magnitudes,
+        # not spikes.
+        slot = state.count % interval
+        history = state.norm_history.at[slot].set(
+            jnp.where(clipped, state.norm_history[slot], norm))
+        count = state.count + jnp.where(clipped, 0, 1).astype(state.count.dtype)
         new_params, sgd_state = base_update(grads, state.sgd, params, lr)
         return new_params, AdaptiveClipState(sgd=sgd_state, norm_history=history,
-                                             count=state.count + 1)
+                                             count=count)
 
     return init, update

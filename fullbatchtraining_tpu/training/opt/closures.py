@@ -36,11 +36,32 @@ def _sgd_pieces(cfg_optim):
             bool(cfg_optim.nesterov), float(cfg_optim.weight_decay))
 
 
-def _descent_direction(grads, params, opt_state: SGDState, cfg_optim):
+def wd_factors(params, cfg_hyp):
+    """Per-leaf weight-decay factors honoring
+    hyp.only_linear_layers_weight_decay: the reference's optim_interface
+    builds param groups with weight_decay=0 for bias/gain/skip_gain
+    (optimizers.py:14-21) and the line searches read the per-group wd."""
+    wd = float(cfg_hyp.optim.weight_decay)
+    if not wd:
+        return None
+    if cfg_hyp.get("only_linear_layers_weight_decay", False):
+        from ..optimizers import wd_mask
+        return jax.tree.map(lambda m: wd if m else 0.0, wd_mask(params))
+    return jax.tree.map(lambda _: wd, params)
+
+
+def apply_wd(grads, params, wdt):
+    """grads + wd*params with the per-leaf factors from wd_factors."""
+    if wdt is None:
+        return grads
+    return jax.tree.map(lambda g, p, w: g + w * p, grads, params, wdt)
+
+
+def _descent_direction(grads, params, opt_state: SGDState, cfg_optim, wdt):
     """torch-SGD direction + momentum-buffer update
     (sgd_linesearch.py:210-244): returns (p_k, new_opt_state, phi0_grad)."""
-    momentum, dampening, nesterov, wd = _sgd_pieces(cfg_optim)
-    g = tree_add_scaled(grads, params, wd) if wd else grads
+    momentum, dampening, nesterov, _ = _sgd_pieces(cfg_optim)
+    g = apply_wd(grads, params, wdt)
     if momentum:
         first = opt_state.count == 0
         buf = jax.tree.map(lambda b, gg: jnp.where(first, gg, momentum * b + (1 - dampening) * gg),
@@ -65,6 +86,7 @@ class RestartingLineSearch:
 
     def __init__(self, fns, cfg):
         self.fns = fns
+        self.hyp = cfg.hyp
         self.optim = cfg.hyp.optim
         self.interval = int(cfg.hyp.optim.get("interval", 10))
         self.losses: list[float] = []
@@ -73,8 +95,9 @@ class RestartingLineSearch:
         lr = self.fns.schedule(state.step)
         grads, bn, metrics = self.fns.gradient_eval(state, images, labels)
         loss = float(metrics["train_loss"])
+        wdt = wd_factors(state.params, self.hyp)
         p_k, opt_state, _ = _descent_direction(grads, state.params, state.opt_state,
-                                               self.optim)
+                                               self.optim, wdt)
         params = tree_add_scaled(state.params, p_k, lr)
 
         if len(self.losses) < self.interval:
@@ -89,7 +112,7 @@ class RestartingLineSearch:
                 zero = jax.tree.map(jnp.zeros_like, state.opt_state.momentum)
                 p_k, opt_state, _ = _descent_direction(
                     grads, state.params, SGDState(momentum=zero, count=state.opt_state.count),
-                    self.optim)
+                    self.optim, wdt)
                 params = tree_add_scaled(state.params, p_k, lr)
         metrics["lr"] = lr
         return _finish(state, params, opt_state, bn, metrics)
@@ -101,6 +124,7 @@ class NonMonotoneLinesearch:
 
     def __init__(self, fns, cfg):
         self.fns = fns
+        self.hyp = cfg.hyp
         self.optim = cfg.hyp.optim
         self.interval = int(cfg.hyp.optim.get("interval", 10))
         self.factor = float(cfg.hyp.optim.get("factor", 0.25))
@@ -111,8 +135,9 @@ class NonMonotoneLinesearch:
         lr = self.fns.schedule(state.step)
         grads, bn, metrics = self.fns.gradient_eval(state, images, labels)
         loss = float(metrics["train_loss"])
+        wdt = wd_factors(state.params, self.hyp)
         p_k, opt_state, _ = _descent_direction(grads, state.params, state.opt_state,
-                                               self.optim)
+                                               self.optim, wdt)
         params = tree_add_scaled(state.params, p_k, lr)
 
         if len(self.losses) < self.interval:
@@ -128,7 +153,8 @@ class NonMonotoneLinesearch:
                          recent_max, loss, self.factor)
                 scaled = tree_scale(scaled, self.factor)
                 p_k, opt_state, _ = _descent_direction(scaled, state.params,
-                                                       state.opt_state, self.optim)
+                                                       state.opt_state, self.optim,
+                                                       wdt)
                 params = tree_add_scaled(state.params, p_k, lr)
                 probe = state.replace(params=params)
                 _, bn, m2 = self.fns.gradient_eval(probe, images, labels)
@@ -143,6 +169,7 @@ class WolfeGradientDescent:
 
     def __init__(self, fns, cfg):
         self.fns = fns
+        self.hyp = cfg.hyp
         self.optim = cfg.hyp.optim
         self.c1 = float(cfg.hyp.optim.get("c1", 1e-4))
         self.c2 = float(cfg.hyp.optim.get("c2", 0.9))
@@ -157,8 +184,7 @@ class WolfeGradientDescent:
         params = tree_add_scaled(theta0, p_k, lr * alpha)
         probe = state.replace(params=params)
         grads, bn, metrics = self.fns.gradient_eval(probe, images, labels)
-        wd = float(self.optim.weight_decay)
-        g = tree_add_scaled(grads, params, wd) if wd else grads
+        g = apply_wd(grads, params, wd_factors(params, self.hyp))
         entry = {"val": float(metrics["train_loss"]), "grad": float(tree_dot(g, p_k)),
                  "params": params, "bn": bn, "metrics": metrics}
         lut[alpha] = entry
@@ -203,8 +229,9 @@ class WolfeGradientDescent:
         grads, bn0, metrics = self.fns.gradient_eval(state, images, labels)
         loss = float(metrics["train_loss"])
         theta0 = state.params
-        p_k, opt_state, phi0_grad = _descent_direction(grads, theta0, state.opt_state,
-                                                       self.optim)
+        p_k, opt_state, phi0_grad = _descent_direction(
+            grads, theta0, state.opt_state, self.optim,
+            wd_factors(theta0, self.hyp))
         if phi0_grad > 0:
             log.info("phi'=%g is positive. p_k is not a descent direction.", phi0_grad)
 
@@ -262,7 +289,7 @@ class _BlockFns:
         return self._fns.block_gradient_eval(state, images, labels, self.bidx)
 
 
-def make_stochastic_closure_step(model, bundle, mesh, cfg, fns, kind: str):
+def make_stochastic_closure_step(cfg, fns, kind: str):
     """Per-block closure optimization in stochastic mode.
 
     Mirrors the reference's stochastic path, where optimizer.step(closure)

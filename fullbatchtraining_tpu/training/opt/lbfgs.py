@@ -30,6 +30,44 @@ def _is_legal(v: float) -> bool:
     return math.isfinite(v)
 
 
+def _polyinterp_min(points):
+    """Minimizer of the interpolating polynomial through (x, f, g) rows
+    (g = nan when unknown), clamped to [min x, max x] — the reference's
+    polyinterp with default bounds (lbfgs.py:30-120, after minFunc)."""
+    pts = np.asarray(points, float)
+    order = int(np.sum(~np.isnan(pts[:, 1:3]))) - 1
+    x_lo, x_hi = float(pts[:, 0].min()), float(pts[:, 0].max())
+    bisect = 0.5 * (x_lo + x_hi)
+    if len(pts) == 2 and order == 2 and pts[0, 0] == 0.0:
+        denom = 2.0 * (pts[1, 1] - pts[0, 1] - pts[0, 2] * pts[1, 0])
+        if denom == 0:
+            return bisect
+        return float(np.clip(-pts[0, 2] * pts[1, 0] ** 2 / denom, x_lo, x_hi))
+    # general case: solve for descending-power coefficients, minimize over
+    # real critical points within bounds plus the bounds themselves
+    A, b = [], []
+    for x, f, g in pts:
+        if not np.isnan(f):
+            A.append([x ** (order - j) for j in range(order + 1)])
+            b.append(f)
+        if not np.isnan(g):
+            A.append([(order - j) * x ** max(order - j - 1, 0)
+                      for j in range(order)] + [0.0])
+            b.append(g)
+    try:
+        coeffs = np.linalg.solve(np.asarray(A), np.asarray(b))
+    except np.linalg.LinAlgError:
+        return bisect
+    dcoeffs = np.polyder(coeffs)
+    candidates = [x_lo, x_hi]
+    for r in np.roots(dcoeffs) if len(dcoeffs) else []:
+        if abs(r.imag) < 1e-12 and x_lo <= r.real <= x_hi:
+            candidates.append(float(r.real))
+    vals = [float(np.polyval(coeffs, c)) for c in candidates]
+    best = candidates[int(np.argmin(vals))]
+    return best if math.isfinite(best) else bisect
+
+
 class LBFGSDriver:
     def __init__(self, fns, cfg):
         o = cfg.hyp.optim
@@ -44,6 +82,8 @@ class LBFGSDriver:
         self.c2 = float(o.get("c2", 0.9))
         self.max_ls = int(o.get("max_linesearches", 10))
         self.weight_decay = float(o.get("weight_decay", 0.0))
+        self.hyp = cfg.hyp
+        self._wd_flat = None  # flat per-element wd factors (lazy, needs params)
 
         # quasi-Newton memory (device vectors, python-list history)
         self.s_hist: list[jax.Array] = []
@@ -65,12 +105,22 @@ class LBFGSDriver:
         self._unravel = unravel
         return vec
 
+    def _ensure_wd(self, params):
+        """Flat per-element wd factors honoring
+        hyp.only_linear_layers_weight_decay (reference per-group wd)."""
+        if self.weight_decay and self._wd_flat is None:
+            from .closures import wd_factors
+            wdt = wd_factors(params, self.hyp)
+            full = jax.tree.map(lambda pp, w: jnp.full(pp.shape, w, pp.dtype),
+                                params, wdt)
+            self._wd_flat = ravel_pytree(full)[0]
+
     def _eval(self, state, images, labels, flat_params):
         probe = state.replace(params=self._unravel(flat_params))
         grads, bn, metrics = self.fns.gradient_eval(probe, images, labels)
         g = self._flat(grads)
         if self.weight_decay:
-            g = g + self.weight_decay * flat_params
+            g = g + self._wd_flat * flat_params
         return float(metrics["train_loss"]), g, bn, metrics
 
     def two_loop_recursion(self, vec):
@@ -117,23 +167,31 @@ class LBFGSDriver:
 
     # -- line searches ------------------------------------------------------
     def _armijo(self, phi, F_k, gtd):
+        """Armijo backtracking with minFunc polynomial interpolation
+        (reference lbfgs.py:436-500): factor shrink on the first/illegal
+        trial, 2-point quadratic on the second, 3-point cubic through the
+        previous trial afterwards, all clamped to [1e-3, 0.6]*t."""
         t = self.lr
         t_prev, F_prev = 0.0, float("nan")
-        for ls_step in range(self.max_ls + 1):
-            F_new = phi(t)
-            if F_new <= F_k + self.c1 * t * gtd and _is_legal(F_new):
-                return t, F_new, False
+        ls_step = 0
+        F_new = phi(t)
+        while F_new > F_k + self.c1 * t * gtd or not _is_legal(F_new):
             if ls_step >= self.max_ls:
                 return 0.0, F_k, True
             t_new = t
             if ls_step == 0 or not _is_legal(F_new):
                 t = t / self.eta
+            elif ls_step == 1 or not math.isfinite(F_prev):
+                t = _polyinterp_min([(0.0, F_k, gtd),
+                                     (t_new, F_new, float("nan"))])
             else:
-                # quadratic interpolation through (0, F_k, gtd), (t, F_new)
-                denom = 2 * (F_new - F_k - gtd * t)
-                t_q = -(gtd * t**2) / denom if denom != 0 else t / self.eta
-                t = t_q if 0.01 * t_new <= t_q <= 0.9 * t_new else t_new / self.eta
-            t_prev, F_prev = t_new, F_new
+                t = _polyinterp_min([(0.0, F_k, gtd),
+                                     (t_new, F_new, float("nan")),
+                                     (t_prev, F_prev, float("nan"))])
+            t = min(max(t, 1e-3 * t_new), 0.6 * t_new)
+            F_prev, t_prev = F_new, t_new
+            F_new = phi(t)
+            ls_step += 1
         return t, F_new, False
 
     def _wolfe(self, phi_grad, F_k, gtd):
@@ -156,6 +214,7 @@ class LBFGSDriver:
     # -- the optimizer step --------------------------------------------------
     def step(self, state, images, labels):
         lr_sched = float(self.fns.schedule(state.step))
+        self._ensure_wd(state.params)
         loss, g, bn, metrics = self._eval(state, images, labels,
                                           self._flat(state.params))
         theta0 = self._flat(state.params)

@@ -73,7 +73,9 @@ _DTYPES = {"float": jnp.float32, "float32": jnp.float32, "float64": jnp.float64,
 # All norm layers update running stats as ra = m*ra + (1-m)*batch with the
 # SAME flax-convention momentum (models/layers.py:168, models/modules.py:50).
 # The grouped accumulation path relies on this to fold vmapped per-chunk BN
-# updates into the exact sequential composition.
+# updates into the exact sequential composition. Models instantiated with a
+# non-default momentum must set impl.bn_momentum to match (or disable
+# grouping with impl.block_grouping=1).
 _BN_MOMENTUM = 0.9
 
 
@@ -185,6 +187,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
     else:
         stream_seg_blocks = num_blocks
 
+    bn_momentum = float(impl.get("bn_momentum", _BN_MOMENTUM))
     param_dtype = _DTYPES[impl.dtype]
     acc_dtype = _DTYPES[impl.accumulation_dtype]
     compute_dtype = (_DTYPES[impl.compute_dtype] if impl.compute_dtype
@@ -301,7 +304,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
                 # sequential EMA is r <- m*r + (b_j - m*r_in).
                 if r:
                     r = jax.tree.map(
-                        lambda rr, bb, r0: _BN_MOMENTUM * rr + (bb - _BN_MOMENTUM * r0),
+                        lambda rr, bb, r0: bn_momentum * rr + (bb - bn_momentum * r0),
                         r, b, bn_in)
                 return (a, r, j + 1), None
 
@@ -1059,7 +1062,7 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
                 if "stochastic_closure" not in cache:
                     from .opt.closures import make_stochastic_closure_step
                     cache["stochastic_closure"] = make_stochastic_closure_step(
-                        model, bundle, mesh, cfg, fns, fns.info["closure"])
+                        cfg, fns, fns.info["closure"])
                 state, metrics = cache["stochastic_closure"](state, images, labels)
             else:
                 state, metrics = step_override(state, images, labels)

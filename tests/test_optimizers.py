@@ -216,3 +216,28 @@ def test_warmup_schedule_matches_reference_oracle():
                                    rtol=5e-4, atol=1e-7)
         opt.step()
         ref.step()
+
+
+def test_closure_wd_honors_linear_only_exemption(config_dir):
+    """Line-search closures apply weight decay per parameter group: bias/gain
+    parameters are exempt under hyp.only_linear_layers_weight_decay
+    (reference optimizers.py:14-21 + per-group wd in the line searches)."""
+    import jax.numpy as jnp
+
+    from fullbatchtraining_tpu.config import load_config
+    from fullbatchtraining_tpu.training.opt.closures import apply_wd, wd_factors
+
+    cfg = load_config(config_dir, overrides=[
+        "hyp=fb1", "hyp.optim.weight_decay=0.5",
+        "hyp.only_linear_layers_weight_decay=True"])
+    params = {"dense": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))},
+              "norm": {"scale": jnp.ones((2,)), "bias": jnp.ones((2,))}}
+    grads = jax.tree.map(jnp.zeros_like, params)
+    out = apply_wd(grads, params, wd_factors(params, cfg.hyp))
+    assert float(out["dense"]["kernel"].sum()) == pytest.approx(2.0)  # 0.5*4
+    assert float(out["dense"]["bias"].sum()) == 0.0                   # exempt
+    assert float(out["norm"]["bias"].sum()) == 0.0                    # exempt
+
+    cfg.hyp.only_linear_layers_weight_decay = False
+    out = apply_wd(grads, params, wd_factors(params, cfg.hyp))
+    assert float(out["dense"]["bias"].sum()) == pytest.approx(1.0)    # decayed
