@@ -35,7 +35,7 @@ log = logging.getLogger(__name__)
 
 
 def _grad_stats_program(model, bundle, mesh, cfg, num_blocks, chunks, sub, n_dev):
-    criterion = get_loss_fn(cfg.hyp)
+    criterion = get_loss_fn(cfg.hyp, cfg.data.batch_size)
     mean, std = jnp.asarray(bundle.mean), jnp.asarray(bundle.std)
 
     def chunk_grad_vector(params, batch_stats, images, labels):

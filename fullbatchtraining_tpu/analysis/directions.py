@@ -32,15 +32,25 @@ def tree_norm(tree: Pytree) -> jax.Array:
 
 
 def _normalize_leaf(d: jax.Array, w: jax.Array, norm: str, ignore: str,
-                    key: jax.Array) -> jax.Array:
+                    key: jax.Array, entire_scale=None) -> jax.Array:
     if d.ndim <= 1:
+        # rank<=1 replacements are norm-specific (rollouts.py:150-201):
+        # filter/default -> w * random sign; layer -> randn matched to ||w||;
+        # entire -> fresh randn * the global weights/direction norm ratio.
         if ignore == "biasbn":
             return jnp.zeros_like(d)
+        if norm == "layer":
+            fresh = jax.random.normal(key, d.shape, d.dtype)
+            return fresh * jnp.linalg.norm(w) / (jnp.linalg.norm(fresh) + 1e-10)
+        if norm == "entire":
+            return jax.random.normal(key, d.shape, d.dtype) * entire_scale
         sign = jnp.sign(jax.random.normal(key, d.shape, d.dtype))
         return w * jnp.where(sign == 0, 1.0, sign)
     if norm == "filter":
         return d * _filter_norms(w) / (_filter_norms(d) + 1e-10)
-    if norm == "layer":
+    if norm in ("layer", "entire"):
+        # reference 'entire' routes rank>1 leaves through normalize_direction,
+        # whose per-layer constant equals the 'layer' rescale (rollouts.py:134-138)
         return d * jnp.linalg.norm(w.reshape(-1)) / (jnp.linalg.norm(d.reshape(-1)) + 1e-10)
     if norm == "weight":
         return d * w
@@ -48,8 +58,6 @@ def _normalize_leaf(d: jax.Array, w: jax.Array, norm: str, ignore: str,
         return d / (_filter_norms(d) + 1e-10)
     if norm == "dlayer":
         return d / (jnp.linalg.norm(d.reshape(-1)) + 1e-10)
-    if norm == "entire":
-        return d  # scaled globally afterwards
     raise ValueError(f"Unknown direction norm {norm}.")
 
 
@@ -60,15 +68,17 @@ def create_random_direction(params: Pytree, key: jax.Array, norm: str = "filter"
     keys = jax.random.split(key, 2 * len(leaves))
     raw = [jax.random.normal(keys[i], leaf.shape, jnp.float32)
            for i, leaf in enumerate(leaves)]
+    entire_scale = None
+    if norm == "entire":
+        # the reference computes the global scalar from the RAW random tree
+        # before any leaf replacement (rollouts.py:176-190)
+        raw_norm = jnp.sqrt(sum(jnp.sum(jnp.square(r)) for r in raw))
+        entire_scale = tree_norm(params) / (raw_norm + 1e-10)
     direction = [
-        _normalize_leaf(d, w, norm, ignore, keys[len(leaves) + i])
+        _normalize_leaf(d, w, norm, ignore, keys[len(leaves) + i], entire_scale)
         for i, (d, w) in enumerate(zip(raw, leaves))
     ]
-    tree = jax.tree.unflatten(treedef, direction)
-    if norm == "entire":
-        scale = tree_norm(params) / (tree_norm(tree) + 1e-10)
-        tree = jax.tree.map(lambda d: d * scale, tree)
-    return tree
+    return jax.tree.unflatten(treedef, direction)
 
 
 def set_parameter_offset(base: Pytree, dx: Pytree, x, dy: Pytree | None = None,

@@ -101,7 +101,7 @@ def _parse_value(text: str) -> Any:
     # yaml parses '1e-2' as a string under YAML 1.1 rules; fix scientific notation.
     if isinstance(value, str):
         try:
-            return float(value) if re.fullmatch(r"[-+]?\d+(\.\d*)?[eE][-+]?\d+", value) else value
+            return float(value) if _SCI_FLOAT.fullmatch(value) else value
         except ValueError:
             return value
     return value

@@ -42,7 +42,9 @@ def get_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+    stale = (_SRC.exists() and _LIB.exists()
+             and _LIB.stat().st_mtime < _SRC.stat().st_mtime)
+    if not _LIB.exists() or stale:
         if not _SRC.exists() or not _build():
             return None
     try:

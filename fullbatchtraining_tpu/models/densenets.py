@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import avg_pool, get_layer_functions, global_avg_pool, max_pool
+from .layers import (avg_pool, get_layer_functions, global_avg_pool,
+                     kaiming_normal_in, max_pool, torch_linear_init)
 
 
 def densenet_depths_to_config(depth: int):
@@ -46,11 +47,13 @@ class _DenseLayer(nn.Module):
             h = self.norm(h.shape[-1], name="norm1")(h, train=train)
             h = self.nonlin(h)
             h = self.conv(self.bn_size * self.growth_rate, kernel_size=1, stride=1,
-                          bias=False, name="conv1")(h)
+                          bias=False, kernel_init=kaiming_normal_in,
+                          name="conv1")(h)
             h = self.norm(h.shape[-1], name="norm2")(h, train=train)
             h = self.nonlin(h)
             h = self.conv(self.growth_rate, kernel_size=3, stride=1, padding=1,
-                          bias=False, name="conv2")(h)
+                          bias=False, kernel_init=kaiming_normal_in,
+                          name="conv2")(h)
             return h
 
         out = body(x)
@@ -80,19 +83,19 @@ class DenseNet(nn.Module):
         # Stems (densenets.py:72-103)
         if self.stem in ("imagenet", "standard"):
             x = conv(self.num_init_features, kernel_size=7, stride=2, padding=3,
-                     bias=False, name="stem_conv0")(x)
+                     bias=False, kernel_init=kaiming_normal_in, name="stem_conv0")(x)
             x = norm(self.num_init_features, name="stem_norm0")(x, train=train)
             x = nonlin(x)
             x = max_pool(x, window=3, stride=2, padding=1)
         elif self.stem == "CIFAR":
             x = conv(self.num_init_features, kernel_size=3, stride=1, padding=1,
-                     bias=False, name="stem_conv0")(x)
+                     bias=False, kernel_init=kaiming_normal_in, name="stem_conv0")(x)
         elif self.stem == "efficient":
             stem_width = self.num_init_features // 2
             for i, feats in enumerate([stem_width, stem_width, self.num_init_features]):
                 stride = 2 if i == 0 else 1
                 x = conv(feats, kernel_size=3, stride=stride, padding=1, bias=False,
-                         name=f"stem_conv{i}")(x)
+                         kernel_init=kaiming_normal_in, name=f"stem_conv{i}")(x)
                 x = norm(feats, name=f"stem_norm{i}")(x, train=train)
                 x = nonlin(x)
             x = max_pool(x, window=3, stride=2, padding=1)
@@ -128,11 +131,13 @@ class DenseNet(nn.Module):
                 x = norm(num_features, name=f"transition{block_idx + 1}_norm")(x, train=train)
                 x = nonlin(x)
                 x = conv(out_features, kernel_size=1, stride=1, bias=False,
-                         name=f"transition{block_idx + 1}_conv")(x)
+                         kernel_init=kaiming_normal_in, name=f"transition{block_idx + 1}_conv")(x)
                 x = avg_pool(x, window=2, stride=2)
                 num_features = out_features
 
         x = norm(num_features, name="final_norm")(x, train=train)
         x = nonlin(x)
         x = global_avg_pool(x)
-        return nn.Dense(self.classes, name="classifier")(x)
+        # reference init: Linear bias zeroed, weight torch default (densenets.py:137-144)
+        return nn.Dense(self.classes, name="classifier",
+                        kernel_init=torch_linear_init)(x)

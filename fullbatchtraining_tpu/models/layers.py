@@ -20,8 +20,12 @@ from .modules import GhostBatchNorm
 
 # torch's kaiming_normal_(mode='fan_out', nonlinearity='relu')
 kaiming_normal_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+# torch's kaiming_normal_() defaults (mode='fan_in', relu), e.g. DenseNet init
+kaiming_normal_in = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 # torch's default Conv2d init: kaiming_uniform(a=sqrt(5)) == uniform(+-1/sqrt(fan_in))
 torch_default_conv = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+# torch's default Linear init: kaiming_uniform(a=sqrt(5)) == uniform(+-1/sqrt(fan_in))
+torch_linear_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
 def _conv(features: int, kernel_size: int = 3, stride: int = 1, padding: int = 0,
@@ -29,7 +33,8 @@ def _conv(features: int, kernel_size: int = 3, stride: int = 1, padding: int = 0
           padding_mode: str = "zeros", kernel_init=kaiming_normal_out,
           name: str | None = None) -> nn.Conv:
     if padding_mode == "zeros":
-        pad = [(padding * dilation, padding * dilation)] * 2 if isinstance(padding, int) else padding
+        # torch.nn.Conv2d pads by exactly `padding` regardless of dilation
+        pad = [(padding, padding)] * 2 if isinstance(padding, int) else padding
     else:
         # circular/reflect/replicate: handled via explicit jnp.pad wrapper below.
         pad = "VALID"

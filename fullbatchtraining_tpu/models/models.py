@@ -78,6 +78,7 @@ def construct_model(cfg_model, channels: int, classes: int) -> nn.Module:
             head=cfg_model.get("head", "CIFAR"),
             convolution_type=cfg_model.get("convolution", "Standard"),
             drop_rate=cfg_model.get("drop_rate", 0.0),
+            classical_weight_init=cfg_model.get("classical_weight_init", True),
         )
     if "linear" in name:
         return LinearDebugModel(classes=classes)

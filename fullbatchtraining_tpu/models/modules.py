@@ -60,8 +60,11 @@ class GhostBatchNorm(nn.Module):
 
         batch = x.shape[0]
         num_chunks = max(batch // self.virtual_batch_size, 1)
-        if train:
-            chunks = x.reshape(num_chunks, batch // num_chunks, *x.shape[1:])
+        # torch.chunk semantics (reference modules.py:31-35): chunks of size
+        # ceil(batch/num_chunks), the last one possibly smaller.
+        csize = -(-batch // num_chunks)
+        if train and batch % csize == 0:
+            chunks = x.reshape(batch // csize, csize, *x.shape[1:])
             # per-chunk statistics over (sub-batch, H, W) for NHWC input
             axes = tuple(range(1, chunks.ndim - 1))
             mean = jnp.mean(chunks, axis=axes, keepdims=True)
@@ -69,13 +72,35 @@ class GhostBatchNorm(nn.Module):
             normed = (chunks - mean) * jax.lax.rsqrt(var + self.epsilon)
             out = normed.reshape(x.shape) * scale + bias
             if not self.is_initializing():
-                flat_mean = mean.reshape(num_chunks, self.channels).mean(0)
-                flat_var = var.reshape(num_chunks, self.channels).mean(0)
+                k = batch // csize
+                flat_mean = mean.reshape(k, self.channels).mean(0)
+                flat_var = var.reshape(k, self.channels).mean(0)
                 # torch running-var updates use the unbiased estimate
-                n = chunks.size / (num_chunks * self.channels)
+                n = chunks.size / (k * self.channels)
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * flat_mean
                 ra_var.value = (self.momentum * ra_var.value
                                 + (1 - self.momentum) * flat_var * (n / max(n - 1, 1)))
+            return out
+        if train:
+            # Uneven virtual batches: normalize each static slice (unrolled;
+            # chunk counts are small). Running stats average the per-chunk
+            # statistics, consistent with the vectorized path.
+            axes = tuple(range(0, x.ndim - 1))
+            outs, means, vars_ = [], [], []
+            for start in range(0, batch, csize):
+                sl = x[start:start + csize]
+                m = jnp.mean(sl, axis=axes, keepdims=True)
+                v = jnp.var(sl, axis=axes, keepdims=True)
+                outs.append((sl - m) * jax.lax.rsqrt(v + self.epsilon))
+                n = sl.size / self.channels
+                means.append(m.reshape(self.channels))
+                vars_.append(v.reshape(self.channels) * (n / max(n - 1, 1)))
+            out = jnp.concatenate(outs, axis=0) * scale + bias
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * jnp.stack(means).mean(0))
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * jnp.stack(vars_).mean(0))
             return out
         normed = (x - ra_mean.value) * jax.lax.rsqrt(ra_var.value + self.epsilon)
         return normed * scale + bias
@@ -127,8 +152,9 @@ def maxup_loss(logits, labels, ntrials: int = 10):
     return loss.max(axis=1).mean()
 
 
-def get_loss_fn(cfg_hyp) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
-    """Loss dispatch mirroring reference training.py:391-413."""
+def get_loss_fn(cfg_hyp, batch_size=None) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Loss dispatch mirroring reference training.py:391-413 (which receives
+    the batch size for the 'batch-maxup' modification)."""
     smoothing = float(cfg_hyp.label_smoothing or 0.0)
     modification = cfg_hyp.loss_modification
 
@@ -138,8 +164,17 @@ def get_loss_fn(cfg_hyp) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     elif modification == "incorrect-xent":
         def loss_fn(logits, labels):
             return incorrect_cross_entropy(logits, labels, smoothing)
-    elif str(modification).startswith("maxup"):
-        ntrials = int(str(modification).split("-")[1]) if "-" in str(modification) else 10
+    elif modification == "batch-maxup":
+        # reference training.py:407: MaxupLoss(ntrials=batch_size)
+        if batch_size is None:
+            raise ValueError("loss_modification=batch-maxup needs the batch size.")
+        ntrials = int(batch_size)
+
+        def loss_fn(logits, labels):
+            return maxup_loss(logits, labels, ntrials)
+    elif "maxup" in str(modification):
+        spec = str(modification)
+        ntrials = int(spec.split("maxup-")[1]) if "maxup-" in spec else 10
 
         def loss_fn(logits, labels):
             return maxup_loss(logits, labels, ntrials)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import WSConv2d, avg_pool, global_avg_pool
+from .layers import WSConv2d, avg_pool, global_avg_pool, torch_linear_init
 
 nfnet_params = {
     "F0": {"width": [256, 512, 1536, 1536], "depth": [1, 2, 6, 3], "train_imsize": 192,
@@ -57,8 +57,9 @@ class SqueezeExcite(nn.Module):
         act = vp_activation(self.activation)
         hidden = max(1, int(self.channels * self.se_ratio))
         pooled = jnp.mean(x, axis=(1, 2))
-        out = nn.Dense(hidden, name="linear")(pooled)
-        out = nn.Dense(self.channels, name="linear_1")(act(out))
+        out = nn.Dense(hidden, name="linear", kernel_init=torch_linear_init)(pooled)
+        out = nn.Dense(self.channels, name="linear_1",
+                       kernel_init=torch_linear_init)(act(out))
         out = jax.nn.sigmoid(out)
         return out[:, None, None, :]
 

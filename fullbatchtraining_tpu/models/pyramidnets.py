@@ -12,7 +12,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import _TorchBatchNorm, avg_pool, global_avg_pool, kaiming_normal_out
+from .layers import (_TorchBatchNorm, avg_pool, global_avg_pool,
+                     kaiming_normal_out, torch_linear_init)
 
 
 def _conv(features, kernel_size=3, stride=1, padding=1, name=None):
@@ -107,4 +108,6 @@ class PyramidNet(nn.Module):
         x = _TorchBatchNorm(x.shape[-1], name="bn_final")(x, train=train)
         x = nn.relu(x)
         x = global_avg_pool(x)
-        return nn.Dense(self.classes, name="fc")(x)
+        # fc keeps torch Linear defaults (reference inits convs/BN only,
+        # pyramidnets.py:158-164)
+        return nn.Dense(self.classes, name="fc", kernel_init=torch_linear_init)(x)

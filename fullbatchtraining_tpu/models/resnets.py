@@ -307,5 +307,4 @@ class ResNet(nn.Module):
                         kernel_init=torch_linear_init, bias_init=nn.initializers.zeros)(x)
 
 
-# torch Linear default init: kaiming_uniform(a=sqrt(5)) on weight = U(+-1/sqrt(fan_in))
-torch_linear_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+from .layers import torch_linear_init  # noqa: E402  (shared torch Linear default)

@@ -193,7 +193,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
     compute_dtype = (_DTYPES[impl.compute_dtype] if impl.compute_dtype
                      else (jnp.bfloat16 if impl.mixed_precision else param_dtype))
 
-    criterion = get_loss_fn(hyp)
+    criterion = get_loss_fn(hyp, bundle.batch_size)
     mean, std = jnp.asarray(bundle.mean), jnp.asarray(bundle.std)
 
     def prepare_inputs(images, key):

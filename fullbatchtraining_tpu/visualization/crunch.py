@@ -39,7 +39,7 @@ log = logging.getLogger(__name__)
 
 def make_surface_program(model, bundle, mesh, cfg, num_blocks, chunks, sub,
                          compute_grads: bool):
-    criterion = get_loss_fn(cfg.hyp)
+    criterion = get_loss_fn(cfg.hyp, cfg.data.batch_size)
     mean, std = jnp.asarray(bundle.mean), jnp.asarray(bundle.std)
     n_dev = mesh.devices.size
 
@@ -165,8 +165,12 @@ def crunch(model, bundle, mesh, cfg, fns, state, stats=None):
                 # mean over all blocks of squared block grad norms (crunch.py:96-99)
                 full_grad_norm = float(gn_sum) / num_blocks / n_dev
                 full_loss += lr / 4 * cfg.hyp.grad_reg.block_strength * full_grad_norm
-            store.record(position, train_loss=train_loss, train_acc=train_acc,
-                         full_loss=full_loss)
+            if jax.process_index() == 0:
+                # rank-0 writes only (reference crunch.py:166-169): other
+                # processes computing the same psum'd values must not append
+                # duplicate rows or interleave writes on a shared store.
+                store.record(position, train_loss=train_loss, train_acc=train_acc,
+                             full_loss=full_loss)
             log.info(status_message(train_loss, train_acc, full_loss,
                                     (time.time() - t0) / len(batch_positions), position))
         if cfg.dryrun:
