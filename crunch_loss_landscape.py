@@ -47,7 +47,7 @@ def main():
 
     if cfg.impl.checkpoint.name is not None:
         file = checkpoint_dir / str(cfg.impl.checkpoint.name)
-        state, step = load_checkpoint(state, cfg, max_steps=float("inf"), file=file)
+        state, step = load_checkpoint(state, cfg, max_steps=float("inf"), require=True, file=file)
         log.info("Loaded model checkpoint from step %d successfully.", step)
     else:
         cfg.impl.checkpoint.name = cfg.name

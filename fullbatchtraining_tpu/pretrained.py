@@ -199,12 +199,15 @@ def _fetch_release_asset(url: str, cache_dir: Path | None = None) -> Path:
 
 
 def load_pretrained(entry: str, file: str | Path | None = None,
-                    channels: int = 3, classes: int = 10):
+                    channels: int = 3, classes: int = 10,
+                    pretrained: bool = True):
     """Build the model + converted variables for a hub entry.
 
     ``file``: local path or URL (http/https/file) of the release .pth asset.
     When None, the asset is fetched from the v1 GitHub release URL (reference
     hubconf.py:37-40) — offline, a clear error points at file=.
+    ``pretrained=False`` skips weight loading and returns the randomly
+    initialized model (reference hubconf gates the download on the flag).
     """
     if entry not in RELEASE_FILES:
         raise ValueError(f"Unknown entry {entry}. Available: {sorted(RELEASE_FILES)}")
@@ -213,6 +216,9 @@ def load_pretrained(entry: str, file: str | Path | None = None,
     model = construct_model(cfg_model, channels, classes)
     variables = initialize_model(model, jax.random.key(0), pixels=32, channels=channels)
 
+    if not pretrained:
+        log.info("pretrained=False: returning randomly initialized %s.", entry)
+        return model, variables
     if file is None:
         file = _fetch_release_asset(_RELEASE_URL + RELEASE_FILES[entry])
     elif isinstance(file, str) and file.split("://")[0] in ("http", "https", "file"):

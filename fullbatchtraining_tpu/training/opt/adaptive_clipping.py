@@ -35,13 +35,15 @@ class AdaptiveClipState(NamedTuple):
     count: jax.Array
 
 
-def adaptive_clipped_sgd(cfg_optim, mask=None):
+def adaptive_clipped_sgd(cfg_optim, mask=None, weight_decay=None):
     interval = int(cfg_optim.interval)
     norm_type = float("inf") if cfg_optim.norm_type == "inf" else float(cfg_optim.norm_type)
 
     base_init, base_update = torch_sgd(
         momentum=cfg_optim.momentum, dampening=cfg_optim.dampening,
-        nesterov=cfg_optim.nesterov, weight_decay=cfg_optim.weight_decay, mask=mask)
+        nesterov=cfg_optim.nesterov,
+        weight_decay=(cfg_optim.weight_decay if weight_decay is None else weight_decay),
+        mask=mask)
 
     def init(params):
         return AdaptiveClipState(sgd=base_init(params),

@@ -59,7 +59,8 @@ def _path_trees(params):
     return paths, treedef
 
 
-def sgd_agc(cfg_optim, params=None, only_linear_wd: bool = False):
+def sgd_agc(cfg_optim, params=None, only_linear_wd: bool = False,
+            weight_decay=None):
     clipping = cfg_optim.clipping
     eps = cfg_optim.eps
 
@@ -71,7 +72,8 @@ def sgd_agc(cfg_optim, params=None, only_linear_wd: bool = False):
 
     base_init, base_update = torch_sgd(
         momentum=cfg_optim.momentum, dampening=cfg_optim.dampening,
-        nesterov=cfg_optim.nesterov, weight_decay=cfg_optim.weight_decay,
+        nesterov=cfg_optim.nesterov,
+        weight_decay=(cfg_optim.weight_decay if weight_decay is None else weight_decay),
         mask=wd_mask if only_linear_wd else None)
 
     def update(grads, state, params, lr):

@@ -80,7 +80,20 @@ def _finish(state, params, opt_state, bn, metrics):
                          batch_stats=bn), metrics
 
 
-class RestartingLineSearch:
+class _ResumableDriver:
+    """Python-side driver scratch persists across checkpoint resume via a
+    sidecar (reference checkpoints optimizer.state_dict() in its 5-tuple,
+    training/utils.py:43-51)."""
+
+    def get_state(self):
+        return {"losses": [float(v) for v in getattr(self, "losses", [])]}
+
+    def set_state(self, payload):
+        if "losses" in payload:
+            self.losses = [float(v) for v in payload["losses"]]
+
+
+class RestartingLineSearch(_ResumableDriver):
     """Reset momentum and redo the step when the loss exceeds the maximum of
     the last ``interval`` losses (sgd_linesearch.py:12-90)."""
 
@@ -118,7 +131,7 @@ class RestartingLineSearch:
         return _finish(state, params, opt_state, bn, metrics)
 
 
-class NonMonotoneLinesearch:
+class NonMonotoneLinesearch(_ResumableDriver):
     """Retry the step with a factor-shrunk gradient until the loss beats the
     maximum of the last ``interval`` losses (sgd_linesearch.py:93-178)."""
 
@@ -163,7 +176,7 @@ class NonMonotoneLinesearch:
         return _finish(state, params, opt_state, bn, metrics)
 
 
-class WolfeGradientDescent:
+class WolfeGradientDescent(_ResumableDriver):
     """Strong-Wolfe line search along the (momentum) descent direction with
     cubic-interpolation zoom (sgd_linesearch.py:183-381, Nocedal & Wright)."""
 
@@ -255,9 +268,16 @@ class WolfeGradientDescent:
                 alpha = self._zoom(alpha, prev_alpha, phi_eval, phi0, lut)
                 break
             prev_alpha, prev_loss = alpha, val
+            last_evaluated = alpha
             alpha = min(alpha * 2.5, self.alpha_max)
             if alpha == self.alpha_max:
+                # bracket exhausted growing: the reference does NOT take a
+                # final step at the grown alpha — "the last step attempt
+                # counts as successful" (sgd_linesearch.py:348-351)
+                alpha = last_evaluated
                 break
+        else:
+            alpha = prev_alpha  # max_iter attempts: keep the last evaluated
 
         phi_eval(alpha)  # ensure the chosen alpha is materialized
         chosen = lut[alpha]
@@ -299,7 +319,7 @@ def make_stochastic_closure_step(cfg, fns, kind: str):
     advances once per epoch; epoch metrics aggregate over all blocks.
     """
     block_fns = _BlockFns(fns)
-    driver_step = make_closure_step(block_fns, cfg, kind)
+    driver_step = make_closure_step(block_fns, cfg, kind).step
     num_blocks = fns.layout[0]
 
     def step(state, images, labels):
@@ -323,12 +343,14 @@ def make_stochastic_closure_step(cfg, fns, kind: str):
 
 
 def make_closure_step(fns, cfg, kind: str):
+    """Return the driver OBJECT (call driver.step(state, images, labels));
+    drivers expose get_state/set_state for checkpoint resume."""
     if kind == "lbfgs":
         from .lbfgs import LBFGSDriver
-        return LBFGSDriver(fns, cfg).step
+        return LBFGSDriver(fns, cfg)
     if kind == "fista-search":
         from .fista import FISTALineSearchDriver
-        return FISTALineSearchDriver(fns, cfg).step
+        return FISTALineSearchDriver(fns, cfg)
     if kind not in _DRIVERS:
         raise ValueError(f"Invalid linesearch {kind} defined.")
-    return _DRIVERS[kind](fns, cfg).step
+    return _DRIVERS[kind](fns, cfg)

@@ -15,10 +15,13 @@ Optional projection applied to x+ after the gradient step.
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+log = logging.getLogger(__name__)
 
 
 class FISTAState(NamedTuple):
@@ -46,6 +49,17 @@ class FISTALineSearchDriver:
         self.tk = float(o.get("tk", 1.0))
         self.x_prev = None
 
+    def get_state(self):
+        return {"lr": float(self.lr), "tk": float(self.tk),
+                "x_prev": (jax.device_get(self.x_prev)
+                           if self.x_prev is not None else {})}
+
+    def set_state(self, p):
+        self.lr = float(p.get("lr", self.lr))
+        self.tk = float(p.get("tk", self.tk))
+        xp = p.get("x_prev")
+        self.x_prev = jax.tree.map(jnp.asarray, xp) if xp else None
+
     def step(self, state, images, labels):
         import jax.numpy as jnp
 
@@ -60,20 +74,26 @@ class FISTALineSearchDriver:
         ak = (self.tk - 1) / tk_new
         self.tk = tk_new
 
-        x_plus = params
+        x_plus, accepted = params, False
         for _ in range(self.max_searches):
-            x_plus = jax.tree.map(lambda y, g: y - self.lr * g, params, grads)
-            delta = jax.tree.map(jnp.subtract, x_plus, params)
+            cand = jax.tree.map(lambda y, g: y - self.lr * g, params, grads)
+            delta = jax.tree.map(jnp.subtract, cand, params)
             linearization = sum(float(jnp.vdot(g, d)) for g, d in
                                 zip(jax.tree.leaves(grads), jax.tree.leaves(delta)))
             distance = sum(float(jnp.sum(d * d)) for d in jax.tree.leaves(delta)) / 2
-            probe = state.replace(params=x_plus)
+            probe = state.replace(params=cand)
             _, _, m2 = self.fns.gradient_eval(probe, images, labels)
             loss_xk = float(m2["train_loss"])
             if (loss_xk - loss_yk - linearization) * self.lr > distance:
                 self.lr *= self.eta
             else:
+                x_plus, accepted = cand, True
                 break
+        if not accepted:
+            # every probe violated the descent lemma: the reference restores
+            # the parameters to y_k instead of stepping (fista.py:166-173)
+            log.info("FISTA backtracking exhausted; keeping y_k.")
+            x_plus = params
 
         y_new = jax.tree.map(lambda xp, xm: xp * (1 + ak) - xm * ak, x_plus, self.x_prev)
         self.x_prev = x_plus

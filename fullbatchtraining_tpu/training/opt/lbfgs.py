@@ -99,6 +99,35 @@ class LBFGSDriver:
         self.fail_skips = 0
         self._unravel = None
 
+    # -- checkpoint-resume state (reference checkpoints optimizer.state_dict
+    # in its 5-tuple, training/utils.py:43-51) ------------------------------
+    def get_state(self):
+        def arr(v):
+            return np.asarray(v) if v is not None else np.zeros((0,), np.float32)
+        return {"s_hist": [np.asarray(v) for v in self.s_hist],
+                "y_hist": [np.asarray(v) for v in self.y_hist],
+                "H_diag": float(self.H_diag), "t": float(self.t),
+                "n_iter": int(self.n_iter), "curv_skips": int(self.curv_skips),
+                "fail_skips": int(self.fail_skips), "fail": bool(self.fail),
+                "prev_flat_grad": arr(self.prev_flat_grad),
+                "Bs": arr(self.Bs), "d": arr(self.d)}
+
+    def set_state(self, p):
+        def opt(v):
+            v = np.asarray(v)
+            return jnp.asarray(v) if v.size else None
+        self.s_hist = [jnp.asarray(v) for v in p.get("s_hist", [])]
+        self.y_hist = [jnp.asarray(v) for v in p.get("y_hist", [])]
+        self.H_diag = float(p.get("H_diag", 1.0))
+        self.t = float(p.get("t", 1.0))
+        self.n_iter = int(p.get("n_iter", 0))
+        self.curv_skips = int(p.get("curv_skips", 0))
+        self.fail_skips = int(p.get("fail_skips", 0))
+        self.fail = bool(p.get("fail", False))
+        self.prev_flat_grad = opt(p.get("prev_flat_grad"))
+        self.Bs = opt(p.get("Bs"))
+        self.d = opt(p.get("d"))
+
     # -- helpers -----------------------------------------------------------
     def _flat(self, tree):
         vec, unravel = ravel_pytree(tree)

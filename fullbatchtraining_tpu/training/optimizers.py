@@ -49,7 +49,9 @@ def make_lr_schedule(cfg_hyp) -> Callable[[jax.Array], jax.Array]:
 
     def cosine(T: int, eta_min: float):
         def fn(e):
-            e = jnp.minimum(e, T)
+            # No clamp past T: torch CosineAnnealingLR's closed form is
+            # periodic, so the lr climbs back toward base after T_max — the
+            # reference's cosine-4000 with hyp.steps > 4000 relies on this.
             return eta_min + (base - eta_min) * 0.5 * (1 + jnp.cos(jnp.pi * e / T))
         return fn
 
@@ -77,7 +79,12 @@ def make_lr_schedule(cfg_hyp) -> Callable[[jax.Array], jax.Array]:
     def schedule(step):
         step = jnp.asarray(step)
         if warmup > 0:
-            return jnp.where(step < warmup, base * step / warmup, after(step - warmup))
+            # The reference GradualWarmupScheduler holds the base lr at steps
+            # `warmup` AND `warmup + 1` (the after-scheduler only starts
+            # counting on the next .step() call), so the post-warmup epoch is
+            # step - warmup - 1 (verified against the vendored oracle).
+            return jnp.where(step < warmup, base * step / warmup,
+                             after(jnp.maximum(step - warmup - 1, 0)))
         return after(step)
 
     return schedule
@@ -209,11 +216,15 @@ def optim_interface(params, cfg_hyp):
             weight_decay=inner_wd, amsgrad=cfg_hyp.optim.amsgrad, mask=mask)
     elif name == "Adaptive Gradient Descent":
         from .opt.adaptive_clipping import adaptive_clipped_sgd
-        init, update = adaptive_clipped_sgd(cfg_hyp.optim, mask=mask)
+        # inner wd zeroed under LARS/LARC like every inner optimizer
+        # (reference lars.py:64-69 zeroes group wd unconditionally)
+        init, update = adaptive_clipped_sgd(cfg_hyp.optim, mask=mask,
+                                            weight_decay=inner_wd)
     elif name == "GD-AGC":
         from .opt.agc import sgd_agc
         init, update = sgd_agc(cfg_hyp.optim, params,
-                               only_linear_wd=cfg_hyp.only_linear_layers_weight_decay)
+                               only_linear_wd=cfg_hyp.only_linear_layers_weight_decay,
+                               weight_decay=inner_wd)
     elif name == "FISTA":
         from .opt.fista import fista
         if cfg_hyp.optim.get("line_search") in ("backtracking", "search"):

@@ -1009,10 +1009,11 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
     variables = initialize_model(model, key, bundle.pixels, bundle.channels)
     state = fns.init_state(variables)
 
-    step_override = None
+    step_override, driver = None, None
     if fns.info["closure"] is not None:
         from .opt.closures import make_closure_step
-        step_override = make_closure_step(fns, cfg, fns.info["closure"])
+        driver = make_closure_step(fns, cfg, fns.info["closure"])
+        step_override = driver.step
     elif fns.info["modification"] == "SAM":
         from .opt.sam import make_sam_step
         step_override = make_sam_step(fns, cfg, fns.opt_update)
@@ -1022,6 +1023,9 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
     if cfg.impl.checkpoint.name is not None:
         state, start_step = load_checkpoint(state, cfg, max_steps=cfg.hyp.steps,
                                             mesh=mesh)
+        if start_step > 0:
+            from .utils import load_driver_state
+            load_driver_state(driver, cfg)
     state = state.replace(step=np.asarray(start_step, np.int32))
 
     cache: dict = {}
@@ -1133,6 +1137,8 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
             if ((step - 1) % cfg.impl.checkpoint.save_every_nth_step == 0
                     or step >= cfg.hyp.steps):
                 save_checkpoint(state, cfg)
+                from .utils import save_driver_state
+                save_driver_state(driver, cfg)
 
         if cfg.dryrun:
             break

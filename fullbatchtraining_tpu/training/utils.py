@@ -40,7 +40,7 @@ def save_checkpoint(state, cfg, file: Path | None = None) -> Path:
 
 
 def load_checkpoint(state, cfg, max_steps: int, file: Path | None = None,
-                    mesh=None):
+                    mesh=None, require: bool = False):
     """Restore into the given template state. Raises when the checkpoint is
     already at max steps (reference training/utils.py:65-66).
 
@@ -48,6 +48,10 @@ def load_checkpoint(state, cfg, max_steps: int, file: Path | None = None,
     re-placed as replicated global arrays so the SPMD step accepts them."""
     file = file or _checkpoint_file(cfg)
     if not file.exists():
+        if require:
+            raise FileNotFoundError(
+                f"Checkpoint {file} not found - evaluating a random init "
+                "would be meaningless. Check impl.checkpoint.name.")
         log.info("No existing checkpoint found. Starting to train from step 0.")
         return state, 0
     restored = serialization.from_bytes(state, file.read_bytes())
@@ -60,6 +64,32 @@ def load_checkpoint(state, cfg, max_steps: int, file: Path | None = None,
         raise ValueError("Maximum step size reached. Terminating computations.")
     log.info("Existing checkpoint loaded successfully. Continuing from step %d.", step)
     return restored, step
+
+
+def _driver_file(cfg) -> Path:
+    return _checkpoint_file(cfg).with_suffix(".opt.msgpack")
+
+
+def save_driver_state(driver, cfg) -> None:
+    """Persist a closure-optimizer driver's Python-side scratch (L-BFGS
+    curvature memory, FISTA lr/t_k/x_prev, line-search loss windows) next to
+    the checkpoint — the reference stores optimizer.state_dict() in its
+    5-tuple (training/utils.py:43-51)."""
+    if driver is None or not hasattr(driver, "get_state"):
+        return
+    payload = jax.tree.map(np.asarray, jax.device_get(driver.get_state()))
+    file = _driver_file(cfg)
+    tmp = file.with_suffix(".tmp")
+    tmp.write_bytes(serialization.msgpack_serialize(payload))
+    tmp.replace(file)
+
+
+def load_driver_state(driver, cfg) -> None:
+    file = _driver_file(cfg)
+    if driver is None or not hasattr(driver, "set_state") or not file.exists():
+        return
+    driver.set_state(serialization.msgpack_restore(file.read_bytes()))
+    log.info("Closure-optimizer driver state restored from %s.", file.name)
 
 
 def save_state_for_visualization(state, grads, update_directions, cfg, path: str):

@@ -157,7 +157,15 @@ def _flatten(d, prefix=""):
 
 
 def save_to_table(out_dir, table_name, dryrun, **kwargs):
-    """Append a row to a tab-separated .csv, creating the header on first use."""
+    """Append a row to a tab-separated .csv, creating the header on first use.
+
+    Reference bug FIXED (documented per CLAUDE.md): the reference appends
+    rows in the new run's own column order without reconciling against an
+    existing file's header (its consistency assert is commented out,
+    utils.py:200-204), silently misaligning heterogeneous runs. Rows here
+    are written under the EXISTING header: missing columns become empty
+    cells and genuinely new columns are dropped with a warning.
+    """
     if dryrun:
         return
     os.makedirs(out_dir, exist_ok=True)
@@ -166,9 +174,18 @@ def save_to_table(out_dir, table_name, dryrun, **kwargs):
     if not os.path.exists(fname):
         with open(fname, "w", newline="") as handle:
             csv.DictWriter(handle, delimiter="\t", fieldnames=fieldnames).writeheader()
+    else:
+        with open(fname, newline="") as handle:
+            existing = next(csv.reader(handle, delimiter="\t"), None)
+        if existing and existing != fieldnames:
+            dropped = [k for k in fieldnames if k not in existing]
+            if dropped:
+                log.warning("Summary table %s: dropping columns not in the "
+                            "existing header: %s", fname, dropped)
+            fieldnames = existing
     with open(fname, "a", newline="") as handle:
         csv.DictWriter(handle, delimiter="\t", fieldnames=fieldnames,
-                       extrasaction="ignore").writerow(kwargs)
+                       extrasaction="ignore", restval="").writerow(kwargs)
 
 
 class Timer:

@@ -13,21 +13,21 @@ from fullbatchtraining_tpu.pretrained import (  # noqa: F401, E402
 )
 
 
-def resnet18_fbaug_clip(pretrained=True, file=None, **kwargs):
-    return load_pretrained("resnet18_fbaug_clip", file=file, **kwargs)
+def resnet18_fbaug_clip(pretrained=True, file=None, progress=True, **kwargs):
+    return load_pretrained("resnet18_fbaug_clip", file=file, pretrained=pretrained, **kwargs)
 
 
-def resnet18_fbaug_gradreg(pretrained=True, file=None, **kwargs):
-    return load_pretrained("resnet18_fbaug_gradreg", file=file, **kwargs)
+def resnet18_fbaug_gradreg(pretrained=True, file=None, progress=True, **kwargs):
+    return load_pretrained("resnet18_fbaug_gradreg", file=file, pretrained=pretrained, **kwargs)
 
 
-def resnet18_fbaug_gradreg_v2(pretrained=True, file=None, **kwargs):
-    return load_pretrained("resnet18_fbaug_gradreg_v2", file=file, **kwargs)
+def resnet18_fbaug_gradreg_v2(pretrained=True, file=None, progress=True, **kwargs):
+    return load_pretrained("resnet18_fbaug_gradreg_v2", file=file, pretrained=pretrained, **kwargs)
 
 
-def resnet18_fbaug_highreg(pretrained=True, file=None, **kwargs):
-    return load_pretrained("resnet18_fbaug_highreg", file=file, **kwargs)
+def resnet18_fbaug_highreg(pretrained=True, file=None, progress=True, **kwargs):
+    return load_pretrained("resnet18_fbaug_highreg", file=file, pretrained=pretrained, **kwargs)
 
 
-def resnet152_fbaug_highreg(pretrained=True, file=None, **kwargs):
-    return load_pretrained("resnet152_fbaug_highreg", file=file, **kwargs)
+def resnet152_fbaug_highreg(pretrained=True, file=None, progress=True, **kwargs):
+    return load_pretrained("resnet152_fbaug_highreg", file=file, pretrained=pretrained, **kwargs)

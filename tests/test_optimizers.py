@@ -241,3 +241,29 @@ def test_closure_wd_honors_linear_only_exemption(config_dir):
     cfg.hyp.only_linear_layers_weight_decay = False
     out = apply_wd(grads, params, wd_factors(params, cfg.hyp))
     assert float(out["dense"]["bias"].sum()) == pytest.approx(1.0)    # decayed
+
+
+def test_warmup_boundary_matches_reference_exactly():
+    """The reference GradualWarmupScheduler holds the base lr at steps
+    warmup AND warmup+1 (the after-scheduler starts counting one step
+    later); verified exactly for the fast-moving exponential schedule."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_sched",
+        "/root/reference/fullbatch/training/additional_optimizers/scheduler.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    p = [torch.nn.Parameter(torch.zeros(1))]
+    opt = torch.optim.SGD(p, lr=0.8)
+    after = torch.optim.lr_scheduler.ExponentialLR(opt, gamma=0.99)
+    tsched = ref.GradualWarmupScheduler(opt, multiplier=1.0, total_epoch=4,
+                                        after_scheduler=after)
+    sched = make_lr_schedule(_hyp("exponential", steps=16, warmup=4, lr=0.8))
+    for step in range(16):
+        np.testing.assert_allclose(float(sched(step)),
+                                   opt.param_groups[0]["lr"], rtol=1e-6,
+                                   err_msg=f"step {step}")
+        opt.step()
+        tsched.step()

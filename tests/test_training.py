@@ -378,3 +378,29 @@ def test_streamed_training_runs(config_dir):
         state, stats = train(model, bundle, mesh, cfg)
         traces[budget] = stats["train_loss"]
     np.testing.assert_allclose(traces["resident"], traces["streamed"], rtol=1e-5)
+
+
+def test_closure_driver_resume_is_equivalent(config_dir, tmp_path, monkeypatch):
+    """L-BFGS curvature memory survives checkpoint resume via the driver-state
+    sidecar: train(4) == train(2) -> save -> resume -> train(2 more)."""
+    monkeypatch.chdir(tmp_path)
+
+    def run(steps, ckpt=None):
+        overrides = [f"hyp.steps={steps}", "data.augmentations_train=",
+                     "hyp/optim=lbfgs", "hyp.optim.lr=0.2",
+                     "hyp.scheduler=none"]
+        if ckpt:
+            overrides += [f"impl.checkpoint.name={ckpt}",
+                          "impl.checkpoint.save_every_nth_step=1"]
+        cfg, mesh, bundle, model = _setup(config_dir, overrides)
+        cfg.original_cwd = str(tmp_path)
+        return train(model, bundle, mesh, cfg)
+
+    state_straight, _ = run(4)
+    run(2, ckpt="lbfgs_resume.ckpt")
+    state_b, _ = run(4, ckpt="lbfgs_resume.ckpt")  # resumes from step 2
+    assert int(state_b.step) == 4
+    for a, b in zip(jax.tree.leaves(state_straight.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)

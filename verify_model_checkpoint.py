@@ -44,7 +44,7 @@ def main():
     variables = initialize_model(model, jax.random.key(cfg.seed), bundle.pixels,
                                  bundle.channels)
     state = fns.init_state(variables)
-    state, step = load_checkpoint(state, cfg, max_steps=float("inf"),
+    state, step = load_checkpoint(state, cfg, max_steps=float("inf"), require=True,
                                   file=checkpoint_path)
 
     val = stage_validation(bundle, mesh, fns.num_devices, bundle.batch_size,
