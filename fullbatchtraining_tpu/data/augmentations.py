@@ -117,13 +117,32 @@ def random_crop_flip_mxu(images, key, size: int, padding: int, flip_p: float):
     return x
 
 
+def crop_spec(arg) -> tuple[int, int]:
+    """(size, padding) from a RandomCrop config entry ([size, pad] or size)."""
+    if isinstance(arg, (list, tuple)):
+        size, pad = arg
+    else:
+        size, pad = arg, 0
+    return int(size), int(pad)
+
+
+def augmented_hw(aug_cfg, h: int, w: int) -> tuple[int, int]:
+    """Output spatial dims after the configured augmentations (policy ops
+    preserve size; size ops apply in config order)."""
+    for name, arg in dict(aug_cfg or {}).items():
+        if name == "RandomCrop":
+            h = w = crop_spec(arg)[0]
+        elif name in ("RandomResizedCrop", "CenterCrop", "Resize"):
+            h = w = int(arg)
+    return h, w
+
+
 def make_augment_fn(aug_cfg) -> Callable:
     """Compose augmentations from a config dict -> fn(images_u8, key)."""
     aug_cfg = dict(aug_cfg or {})
     # Fused MXU fast path for the dominant CIFAR pipeline.
     if set(aug_cfg) == {"RandomCrop", "RandomHorizontalFlip"} or set(aug_cfg) == {"RandomCrop"}:
-        arg = aug_cfg["RandomCrop"]
-        size, pad = (arg if isinstance(arg, (list, tuple)) else (arg, 0))
+        size, pad = crop_spec(aug_cfg["RandomCrop"])
         flip_p = float(aug_cfg.get("RandomHorizontalFlip", 0.0))
 
         def fused(images, key):
@@ -140,8 +159,8 @@ def _compose(aug_cfg) -> Callable:
     if aug_cfg:
         for name, arg in aug_cfg.items():
             if name == "RandomCrop":
-                size, pad = (arg if isinstance(arg, (list, tuple)) else (arg, 0))
-                ops.append(lambda x, k, s=int(size), p=int(pad): random_crop(x, k, s, p))
+                size, pad = crop_spec(arg)
+                ops.append(lambda x, k, s=size, p=pad: random_crop(x, k, s, p))
             elif name == "RandomHorizontalFlip":
                 ops.append(lambda x, k, p=float(arg): random_horizontal_flip(x, k, p))
             elif name == "RandomResizedCrop":

@@ -28,7 +28,7 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from .augmentations import make_augment_fn
+from .augmentations import augmented_hw, crop_spec, make_augment_fn
 from .datasets import ArrayDataset
 
 log = logging.getLogger(__name__)
@@ -36,22 +36,41 @@ log = logging.getLogger(__name__)
 _BAKE_BATCH = 1024
 
 
-def _db_dir(cfg_db, data_name: str, size: int) -> Path:
+def _db_dir(cfg_db, data_name: str, size: int, aug_cfg) -> Path:
+    """The store path encodes everything that changes the baked bytes
+    (reference encodes the transform repr + first_round_clean in the LMDB
+    path, lmdb_datasets.py:171-175), so config changes never silently reuse
+    a stale store. temporary_database bakes get a unique directory that the
+    exit cleanup removes without touching persistent stores."""
+    import hashlib
+
     base = Path(os.path.expanduser(str(cfg_db.path)))
-    return base / f"{data_name}_{size}_rounds{cfg_db.rounds}"
+    spec = json.dumps({"aug": dict(aug_cfg or {}),
+                       "clean": bool(cfg_db.first_round_clean),
+                       "shuffle": bool(cfg_db.shuffle_while_writing)},
+                      sort_keys=True, default=str)
+    tag = hashlib.sha1(spec.encode()).hexdigest()[:8]
+    name = f"{data_name}_{size}_rounds{cfg_db.rounds}_{tag}"
+    if cfg_db.get("temporary_database", False):
+        name += f"_tmp{os.getpid()}"
+    return base / name
 
 
 def bake_dataset(train: ArrayDataset, cfg_data, cfg_db, seed: int = 0) -> Path:
     """Write the replicated-augmentation database; returns its directory."""
     rounds = int(cfg_db.rounds)
-    out_dir = _db_dir(cfg_db, cfg_data.name, len(train))
+    # The db group always defines augmentations_train (reference
+    # lmdb_datasets.py:169 reads it unconditionally); an explicit null means
+    # a clean replicated store, NOT a fallback to the data group's pipeline.
+    aug_cfg = cfg_db.augmentations_train
+    out_dir = _db_dir(cfg_db, cfg_data.name, len(train), aug_cfg)
     meta_file = out_dir / "meta.json"
     if meta_file.exists() and not cfg_db.rebuild_existing_database:
         return out_dir
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    aug_cfg = cfg_db.get("augmentations_train") or cfg_data.augmentations_train
     n, h, w, c = train.images.shape
+    h, w = augmented_hw(aug_cfg, h, w)  # size-changing bakes store the output shape
     images = np.lib.format.open_memmap(
         out_dir / "images.npy", mode="w+", dtype=np.uint8, shape=(rounds, n, h, w, c))
     labels = np.empty((rounds, n), np.int32)
@@ -83,9 +102,8 @@ def _bake_native(train, aug_cfg, cfg_db, rounds, seed, images) -> np.ndarray | N
         return None
     pad, flip_p = 0, 0.0
     if "RandomCrop" in aug:
-        size, pad = aug["RandomCrop"] if isinstance(aug["RandomCrop"], (list, tuple)) \
-            else (aug["RandomCrop"], 0)
-        if int(size) != train.images.shape[1]:
+        size, pad = crop_spec(aug["RandomCrop"])
+        if size != train.images.shape[1]:
             return None  # size-changing crops use the JAX path
     if "RandomHorizontalFlip" in aug:
         flip_p = float(aug["RandomHorizontalFlip"])
@@ -124,6 +142,14 @@ def _bake_jax(train, aug_cfg, cfg_db, rounds, seed, images, labels):
         for start in range(0, n, _BAKE_BATCH):
             idx = order[start:start + _BAKE_BATCH]
             batch = train.images[idx]
+            th, tw = images.shape[2], images.shape[3]
+            if clean and batch.shape[1:3] != (th, tw):
+                # first_round_clean with a size-changing bake: deterministic
+                # center crop to the store shape (the reference's LMDB keeps
+                # raw sizes per key; a fixed-shape array store cannot).
+                top = (batch.shape[1] - th) // 2
+                left = (batch.shape[2] - tw) // 2
+                batch = batch[:, top:top + th, left:left + tw]
             if not clean:
                 for pkey, spec in policies:
                     from .policy_augment import apply_policy_batch

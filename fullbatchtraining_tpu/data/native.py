@@ -75,8 +75,11 @@ def bake_rounds_native(images: np.ndarray, rounds: int, pad: int, flip_p: float,
     lib = get_lib()
     if lib is None:
         return None
-    assert images.dtype == np.uint8 and images.flags.c_contiguous
+    _check_u8c(images, "images")
+    _check_u8c(out, "out")
     n, h, w, c = images.shape
+    if out.shape != (rounds, n, h, w, c):
+        raise ValueError(f"out shape {out.shape} != {(rounds, n, h, w, c)}")
     order = np.empty((rounds, n), np.int32)
     lib.bake_rounds(
         images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -87,12 +90,22 @@ def bake_rounds_native(images: np.ndarray, rounds: int, pad: int, flip_p: float,
     return order
 
 
+def _check_u8c(arr, what):
+    if arr.dtype != np.uint8 or not arr.flags.c_contiguous:
+        raise ValueError(f"{what} must be C-contiguous uint8, got "
+                         f"{arr.dtype}/{arr.flags.c_contiguous}")
+
+
 def gather_rows_native(images: np.ndarray, indices: np.ndarray) -> np.ndarray | None:
     lib = get_lib()
     if lib is None:
         return None
+    if images.dtype != np.uint8:
+        return None  # JAX/numpy fallback handles non-byte imagery
     flat = np.ascontiguousarray(images).reshape(len(images), -1)
     idx = np.ascontiguousarray(indices, np.int64)
+    if idx.size and (idx.min() < 0 or idx.max() >= len(images)):
+        raise IndexError("gather_rows_native: index out of range")
     out = np.empty((len(idx), flat.shape[1]), np.uint8)
     lib.gather_rows(flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                     idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

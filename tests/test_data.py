@@ -205,3 +205,40 @@ print('DB_DIR=' + str(bundle.baked.dir))
     db_dir = [l for l in out.stdout.splitlines() if l.startswith("DB_DIR=")][0][7:]
     import os
     assert not os.path.exists(db_dir)  # removed at interpreter exit
+
+
+def test_bake_store_key_encodes_config(config_dir, tmp_path):
+    """Changing bake-relevant config (augmentations, first_round_clean) must
+    not silently reuse a stale store (reference encodes the transform repr
+    in the LMDB path, lmdb_datasets.py:171-175)."""
+    from fullbatchtraining_tpu.config import load_config
+    from fullbatchtraining_tpu.data import construct_databundle
+
+    def bundle(extra):
+        cfg = load_config(config_dir, overrides=[
+            "data.size=32", "data.path=/tmp/__none__", "data/db=baked",
+            f"data.db.path={tmp_path}/db", "data.db.rounds=2", "hyp=fb1"] + extra)
+        return construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+
+    b1 = bundle([])
+    b2 = bundle(["data.db.first_round_clean=True"])
+    b3 = bundle(["data.db.augmentations_train=null"])
+    assert b1.baked.dir != b2.baked.dir != b3.baked.dir
+    # clean round 0 equals the raw data; the default store's round 0 is augmented
+    assert np.array_equal(np.asarray(b2.baked.round(0).images),
+                          np.asarray(b3.baked.round(0).images))
+
+
+def test_bake_size_changing_crop(config_dir, tmp_path):
+    """A bake whose RandomCrop shrinks the images stores the OUTPUT shape
+    (regression: the buffer was allocated with the raw shape and baking
+    crashed for any non-32px dataset)."""
+    from fullbatchtraining_tpu.config import load_config
+    from fullbatchtraining_tpu.data import construct_databundle
+
+    cfg = load_config(config_dir, overrides=[
+        "data=TinyImageNet", "data.size=16", "data.path=/tmp/__none__",
+        "data/db=baked", f"data.db.path={tmp_path}/db", "data.db.rounds=2",
+        "data.db.first_round_clean=True", "data.batch_size=8", "hyp=fb1"])
+    bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+    assert bundle.baked.round(0).images.shape[1:3] == (32, 32)  # 64 -> crop 32
