@@ -387,10 +387,16 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
             full_loss += lr / 4 * hyp.grad_reg.acc_strength * tree_sqnorm(pre_grads)
 
         # The single coalesced collective of the step (grads + BN stats +
-        # scalar stats in ONE psum over a pytree; training/utils.py:31-41):
+        # scalar stats + per-chunk norms in ONE psum over a pytree;
+        # training/utils.py:31-41). The norms ride the psum as zero-padded
+        # per-device slots so the output is fully replicated — a sharded
+        # stats array would not be fetchable under process_count > 1.
         scalars = jnp.stack([step_loss, step_preds, full_loss, full_grad_norm,
                              clipped_flags.sum()])
-        avg, bn_sum, package = jax.lax.psum((avg, bn, scalars), DATA_AXIS)
+        norm_slots = jnp.zeros((n_dev, grad_norms.shape[0]),
+                               grad_norms.dtype).at[dev].set(grad_norms)
+        avg, bn_sum, package, norms_all = jax.lax.psum(
+            (avg, bn, scalars, norm_slots), DATA_AXIS)
         avg = jax.tree.map(lambda a: a / n_dev, avg)
         bn = jax.tree.map(lambda b: b / n_dev, bn_sum) if bn else bn
 
@@ -403,13 +409,13 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
             "full_loss": full_loss / n_dev,
             "clipped_batches": clipped_batches,
         }
-        return avg, bn, metrics, grad_norms[None]  # leading axis -> per-device stack
+        return avg, bn, metrics, norms_all  # (n_dev, chunks), replicated
 
     data_spec = P(None, DATA_AXIS)
     sharded_accumulate = jax.shard_map(
         _local_accumulate, mesh=mesh,
         in_specs=(P(), P(), data_spec, data_spec, P(), P()),
-        out_specs=(P(), P(), P(), P(DATA_AXIS)),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False)
 
     # -------------------------------------------------------------------
@@ -523,6 +529,10 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         grads, bn, metrics = sharded_stream_finalize(state.params, carry, lr)
         norms = (norm_parts[0] if len(norm_parts) == 1
                  else jnp.concatenate(norm_parts, axis=1))
+        if jax.process_count() > 1:
+            # segment outputs are device-sharded; replicate for host stats
+            from jax.experimental import multihost_utils
+            norms = multihost_utils.process_allgather(norms, tiled=True)
         return grads, bn, metrics, norms
 
     # -------------------------------------------------------------------
@@ -652,7 +662,10 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         (params, bn, opt_state, step_loss, step_preds), grad_norms = jax.lax.scan(
             block_body, init, (images, labels, idx))
 
-        package = jax.lax.psum(jnp.stack([step_loss, step_preds]), DATA_AXIS)
+        norm_slots = jnp.zeros((n_dev, grad_norms.shape[0]),
+                               grad_norms.dtype).at[dev].set(grad_norms)
+        package, norms_all = jax.lax.psum(
+            (jnp.stack([step_loss, step_preds]), norm_slots), DATA_AXIS)
         bn = jax.lax.pmean(bn, DATA_AXIS) if bn else bn
         metrics = {
             "train_loss": package[0] / num_blocks / n_dev,
@@ -662,12 +675,12 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
             "full_loss": package[0] / num_blocks / n_dev,
             "clipped_batches": jnp.zeros(()),
         }
-        return params, bn, opt_state, metrics, grad_norms[None]
+        return params, bn, opt_state, metrics, norms_all
 
     sharded_stochastic = jax.shard_map(
         _local_stochastic, mesh=mesh,
         in_specs=(P(), P(), P(), data_spec, data_spec, P(), P()),
-        out_specs=(P(), P(), P(), P(), P(DATA_AXIS)),
+        out_specs=(P(), P(), P(), P(), P()),
         check_vma=False)
 
     # Per-block gradient evaluation for stochastic closure optimizers: the

@@ -20,6 +20,9 @@ def main():
     pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
                                 sys.argv[3], Path(sys.argv[4]))
     extra = list(sys.argv[5:])
+    train_mode = "--train" in extra
+    if train_mode:
+        extra.remove("--train")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -54,6 +57,23 @@ def main():
     fns = make_train_functions(model, bundle, mesh, cfg)
     variables = initialize_model(model, jax.random.key(0), bundle.pixels,
                                  bundle.channels)
+    if train_mode:
+        # Full train() loop across processes: full_step, eval cadence,
+        # rank-0 checkpoint writes, metrics collection.
+        import os
+        os.chdir(outdir)
+        from fullbatchtraining_tpu.training.training import train
+        cfg.hyp.steps = 3
+        cfg.impl.checkpoint.name = "mh.ckpt"
+        state, stats = train(model, bundle, mesh, cfg)
+        if jax.process_index() == 0:
+            flat = np.concatenate([np.asarray(jax.device_get(g)).ravel()
+                                   for g in jax.tree.leaves(state.params)])
+            np.savez(outdir / "multiproc_train.npz", params=flat,
+                     losses=np.asarray(stats["train_loss"]))
+        jax.distributed.shutdown()
+        return
+
     state = fns.init_state(variables)
     images, labels = stage_epoch(bundle, fns, mesh, cfg, 0, {})
     grads, _, metrics = fns.gradient_eval(state, images, labels,

@@ -111,3 +111,40 @@ def test_two_process_streamed_accumulation(config_dir, tmp_path):
     np.testing.assert_allclose(float(multi["loss"]),
                                float(metrics["train_loss"]), rtol=1e-5)
     np.testing.assert_allclose(multi["grads"], flat, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_full_training_loop(config_dir, tmp_path):
+    """train() end-to-end across 2 processes: full_step, eval cadence, and
+    rank-0 checkpoint writes; the loss trace and final parameters match a
+    single-process 4-device run exactly."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(WORKER), str(pid), "2", str(port), str(tmp_path),
+         "--train", "hyp.warmup=0", "hyp.optim.lr=0.05"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    multi = np.load(tmp_path / "multiproc_train.npz")
+    assert (tmp_path / "checkpoints" / "mh.ckpt").exists()
+
+    cfg = load_config(config_dir, overrides=[
+        "model=linear", "data.size=64", "data.path=/tmp/__none__",
+        "data.batch_size=4", "hyp.sub_batch=4", "hyp=fb1", "hyp.warmup=0",
+        "seed=0", "data.augmentations_train=", "hyp.shuffle=True",
+        "hyp.steps=3", "hyp.optim.lr=0.05"])
+    mesh = make_mesh(cfg.impl.setup, devices=np.asarray(jax.devices()[:4]))
+    bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+    model = construct_model(cfg.model, bundle.channels, bundle.classes)
+    from fullbatchtraining_tpu.training.training import train
+    state, stats = train(model, bundle, mesh, cfg)
+    flat = np.concatenate([np.asarray(jax.device_get(g)).ravel()
+                           for g in jax.tree.leaves(state.params)])
+    np.testing.assert_allclose(multi["losses"], np.asarray(stats["train_loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(multi["params"], flat, rtol=1e-4, atol=1e-6)
