@@ -125,3 +125,16 @@ def test_download_offline_error_message(tmp_path, monkeypatch):
 
     with pytest.raises(RuntimeError, match="network egress"):
         _fetch_release_asset("file:///nonexistent/asset.pth", cache_dir=tmp_path)
+
+
+def test_pretrained_false_returns_random_init():
+    """hub entries honor pretrained=False offline and accept progress
+    (reference hubconf signature: pretrained gates load_state_dict_from_url)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import hubconf
+
+    model, variables = hubconf.resnet18_fbaug_clip(pretrained=False, progress=False)
+    assert "params" in variables  # no network access happened

@@ -88,3 +88,21 @@ def test_test_time_flips(config_dir):
     # flip-averaging changes the loss value (softmax-sum outputs)
     assert not np.isclose(m_flips["valid_loss"], m_plain["valid_loss"])
     assert 0.0 <= m_flips["valid_acc"] <= 1.0
+
+
+def test_save_to_table_header_reconciliation(tmp_path):
+    """Rows from heterogeneous runs align to the existing header (reference
+    bug fixed: misaligned appends); new columns are dropped with a warning,
+    missing ones become empty cells."""
+    import csv
+
+    from fullbatchtraining_tpu.utils import save_to_table
+
+    save_to_table(str(tmp_path), "t", False, name="a", momentum=0.9, lr=0.1)
+    save_to_table(str(tmp_path), "t", False, name="b", betas="0.9,0.999", lr=0.2)
+    with open(tmp_path / "table_t.csv", newline="") as fh:
+        rows = list(csv.DictReader(fh, delimiter="\t"))
+    assert rows[0]["momentum"] == "0.9"
+    assert rows[1]["momentum"] == ""        # missing -> empty, not misaligned
+    assert rows[1]["lr"] == "0.2"
+    assert "betas" not in rows[1]           # new column dropped, not shifted
