@@ -98,7 +98,14 @@ def construct_databundle(cfg_data, cfg_impl=None, cfg_hyp=None, dryrun: bool = F
 
 def epoch_layout(total: int, batch_size: int, sub_batch: int, num_devices: int,
                  dryrun: bool = False):
-    """(num_blocks, chunks_per_block, per-device sub_batch) with drop_last."""
+    """(num_blocks, chunks_per_block, per-device sub_batch) with drop_last.
+
+    The reference clamps the loader batch to the dataset size
+    (data_preparation.py:68: batch_size=min(cfg, len(trainset))), so
+    data.size-subset runs keep working; here the clamp is per-device so the
+    subset still fills at least one block on a multi-device mesh."""
+    if total >= num_devices:
+        batch_size = min(batch_size, max(total // num_devices, 1))
     sub = min(sub_batch, batch_size)
     if batch_size % sub != 0:
         # mirror reference chunking: ceil division via shrink to divisor

@@ -19,7 +19,9 @@ Documented deviation (reference bug fixed, per CLAUDE.md policy): a
 ``-inc0`` expecting the non-increasing ops get what they asked for here.
 ``-w0`` weights are looked up by the default op-name list and applied
 positionally, exactly as the reference's _select_rand_weights does
-(:815-821, :900), so ``-inc1-w0`` composes.
+(:815-821, :900), so ``-inc1-w0`` composes. The same bool(str) quirk class
+affects AugMix ``-b0`` (reference :995: any digit enables blending); we
+respect the 0 (basic mixing), also a documented fix.
 The AutoAugment policy tables (v0/v0r/original/originalr) are the published
 policy constants (arXiv:1805.09501 and the TF TPU EfficientNet repo).
 
@@ -219,6 +221,8 @@ def rand_augment_transform(spec: str, hparams: dict) -> Callable:
             num_layers = int(val)
         elif key == "w":
             weight_idx = int(val)
+        else:
+            raise ValueError(f"Unknown RandAugment config section {section!r}")
     ops = [_AugmentOp(name, prob=0.5, magnitude=magnitude, hparams=hparams)
            for name in transforms]
     choice_weights = None
@@ -325,6 +329,8 @@ def auto_augment_transform(spec: str, hparams: dict) -> Callable:
         key, val = _split_spec(section)
         if key == "mstd":
             hparams.setdefault("magnitude_std", float(val))
+        else:
+            raise ValueError(f"Unknown AutoAugment config section {section!r}")
     policy = [[_AugmentOp(*args, hparams=hparams) for args in sub]
               for sub in _aa_policy_table(policy_name)]
     return _AutoAugment(policy)
@@ -391,7 +397,11 @@ def augment_and_mix_transform(spec: str, hparams: dict) -> Callable:
         elif key == "a":
             alpha = float(val)
         elif key == "b":
+            # reference quirk fixed (documented in the module docstring):
+            # bool(str(val)) made '-b0' enable blending; we respect the 0
             blended = bool(int(val))
+        else:
+            raise ValueError(f"Unknown AugMix config section {section!r}")
     hparams.setdefault("magnitude_std", float("inf"))  # uniform by default (:998)
     ops = [_AugmentOp(name, prob=1.0, magnitude=magnitude, hparams=hparams)
            for name in _AUGMIX_TRANSFORMS]
@@ -405,10 +415,13 @@ def get_policy_transform(key: str, spec: str, img_size: int, mean) -> Callable:
         "translate_const": int(img_size * 0.45),
         "img_mean": tuple(min(255, round(255 * x)) for x in mean),
     }
+    # Dispatch on the SPEC prefix alone: the reference routes on the value
+    # (data_preparation.py:157-170), so e.g. RandAugment: v0 builds an
+    # AutoAugment transform; the config key is only the group name.
     spec = str(spec)
-    if key == "RandAugment" or spec.startswith("rand"):
+    if spec.startswith("rand"):
         return rand_augment_transform(spec, hparams)
-    if key == "AugMix" or spec.startswith("augmix"):
+    if spec.startswith("augmix"):
         hparams["translate_pct"] = 0.3
         return augment_and_mix_transform(spec, hparams)
     return auto_augment_transform(spec, hparams)

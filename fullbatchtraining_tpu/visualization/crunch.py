@@ -102,10 +102,11 @@ def crunch(model, bundle, mesh, cfg, fns, state, stats=None):
     if viz.rebuild_existing_database:
         store.remove()
     if store.exists():
-        if not store.verify_model(params):
+        loaded = store.verify_model(params)
+        if loaded is None:
             raise ValueError(f"The stored surface at {store.path} belongs to a "
                              "different model state.")
-        _, dx, dy = store.load(params)
+        _, dx, dy = loaded
         log.info("Reusing cached surface database at %s.", store.path)
     else:
         key = jax.random.key(cfg.seed if cfg.seed is not None else 0)

@@ -34,8 +34,10 @@ class SurfaceStore:
 
     def __init__(self, path: Path):
         self.path = Path(path)
-        self.meta_file = self.path.with_suffix(".directions.msgpack")
-        self.results_file = self.path.with_suffix(".results.jsonl")
+        # plain name concatenation: with_suffix would swallow everything after
+        # a dot in the store name, colliding distinct norm/ignore variants
+        self.meta_file = self.path.parent / (self.path.name + ".directions.msgpack")
+        self.results_file = self.path.parent / (self.path.name + ".results.jsonl")
 
     def exists(self) -> bool:
         return self.meta_file.exists()
@@ -63,12 +65,15 @@ class SurfaceStore:
         payload = serialization.from_state_dict(template, payload)
         return payload["params"], payload["x_direction"], payload["y_direction"]
 
-    def verify_model(self, params) -> bool:
-        stored, _, _ = self.load(params)
-        for a, b in zip(jax.tree.leaves(stored), jax.tree.leaves(jax.device_get(params))):
+    def verify_model(self, params):
+        """Returns the loaded (params, dx, dy) when the stored snapshot
+        matches ``params``, else None — one disk read for the caller."""
+        loaded = self.load(params)
+        for a, b in zip(jax.tree.leaves(loaded[0]),
+                        jax.tree.leaves(jax.device_get(params))):
             if not np.array_equal(np.asarray(a), np.asarray(b)):
-                return False
-        return True
+                return None
+        return loaded
 
     @staticmethod
     def _key(position) -> str:
@@ -80,7 +85,15 @@ class SurfaceStore:
             for line in self.results_file.read_text().splitlines():
                 if not line.strip():
                     continue
-                row = json.loads(line)
+                try:
+                    row = json.loads(line)
+                except json.JSONDecodeError:
+                    # torn tail from a killed job or non-atomic concurrent
+                    # append: skip so the resume path keeps working (the
+                    # reference tolerated damaged LMDB payloads the same way)
+                    log.warning("Skipping corrupt results line in %s",
+                                self.results_file.name)
+                    continue
                 key = self._key(row["position"])
                 existing = out.get(key)
                 if row.get("claim"):
