@@ -121,3 +121,31 @@ def model_rngs(key: jax.Array) -> dict:
     """Per-call RNGs for stochastic layers (stochdepth/dropout)."""
     k1, k2 = jax.random.split(key)
     return {"stochdepth": k1, "dropout": k2}
+
+
+def detect_norm_momenta(model: nn.Module, pixels: int, channels: int) -> set:
+    """Running-stat momenta of every norm layer in the model.
+
+    Collected during an abstract trace (``jax.eval_shape`` of ``model.init``
+    with a flax method interceptor) — no compilation, no compute. The grouped
+    accumulation scan folds vmapped per-chunk BatchNorm updates into the exact
+    sequential EMA and needs to know the momentum those layers actually use;
+    this makes the assumption checkable instead of silent (the reference has
+    no analogue — torch BN owns its own momentum per instance).
+    """
+    momenta = []
+
+    def interceptor(next_fun, args, kwargs, context):
+        m = getattr(context.module, "momentum", None)
+        if isinstance(m, (float, int)) and not isinstance(m, bool):
+            momenta.append(round(float(m), 12))
+        return next_fun(*args, **kwargs)
+
+    dummy = jnp.zeros((2, pixels, pixels, channels), jnp.float32)
+    keys = jax.random.split(jax.random.key(0), 3)
+    rngs = {"params": keys[0], "stochdepth": keys[1], "dropout": keys[2]}
+    with nn.intercept_methods(interceptor):
+        abstract = jax.eval_shape(lambda: model.init(rngs, dummy, train=True))
+    if "batch_stats" not in abstract:
+        return set()
+    return set(momenta)

@@ -70,12 +70,12 @@ log = logging.getLogger(__name__)
 _DTYPES = {"float": jnp.float32, "float32": jnp.float32, "float64": jnp.float64,
            "bfloat16": jnp.bfloat16, "float16": jnp.float16, "double": jnp.float64}
 
-# All norm layers update running stats as ra = m*ra + (1-m)*batch with the
-# SAME flax-convention momentum (models/layers.py:168, models/modules.py:50).
-# The grouped accumulation path relies on this to fold vmapped per-chunk BN
-# updates into the exact sequential composition. Models instantiated with a
-# non-default momentum must set impl.bn_momentum to match (or disable
-# grouping with impl.block_grouping=1).
+# All norm layers update running stats as ra = m*ra + (1-m)*batch with a
+# flax-convention momentum (models/layers.py:168, models/modules.py:50). The
+# grouped accumulation path relies on one SHARED momentum to fold vmapped
+# per-chunk BN updates into the exact sequential composition; the actual
+# per-layer values are detected at make_train_functions time
+# (models.detect_norm_momenta) and grouping is disabled if they disagree.
 _BN_MOMENTUM = 0.9
 
 
@@ -188,6 +188,26 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         stream_seg_blocks = num_blocks
 
     bn_momentum = float(impl.get("bn_momentum", _BN_MOMENTUM))
+    if group > 1:
+        # The grouped-scan BN fold is only exact when every norm layer shares
+        # one momentum; detect the actual per-layer values (abstract trace,
+        # no compute) instead of trusting impl.bn_momentum blindly.
+        from ..models.models import detect_norm_momenta
+        detected = detect_norm_momenta(model, bundle.pixels, bundle.channels)
+        if len(detected) > 1:
+            log.warning(
+                "Model norm layers use heterogeneous momenta %s; the grouped "
+                "BN fold assumes one shared momentum — disabling block "
+                "grouping (impl.block_grouping=1).", sorted(detected))
+            group = 1
+        elif detected:
+            found = next(iter(detected))
+            if abs(found - bn_momentum) > 1e-9:
+                log.warning(
+                    "Model norm layers use momentum %g (impl.bn_momentum=%g); "
+                    "using the detected value for the grouped BN fold.",
+                    found, bn_momentum)
+            bn_momentum = found
     param_dtype = _DTYPES[impl.dtype]
     acc_dtype = _DTYPES[impl.accumulation_dtype]
     compute_dtype = (_DTYPES[impl.compute_dtype] if impl.compute_dtype
