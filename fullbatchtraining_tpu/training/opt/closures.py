@@ -328,8 +328,13 @@ def make_stochastic_closure_step(cfg, fns, kind: str):
         metrics = {}
         for block in range(num_blocks):
             block_fns.bidx = block
-            state, metrics = driver_step(state, images[block:block + 1],
-                                         labels[block:block + 1])
+            bi, bl = images[block:block + 1], labels[block:block + 1]
+            if fns.streamed:
+                # Host-resident epoch (streamed mode): ship one block at a
+                # time to the sharded per-block gradient program.
+                from ...parallel.mesh import shard_epoch_arrays
+                bi, bl = shard_epoch_arrays(fns.mesh, bi, bl)
+            state, metrics = driver_step(state, bi, bl)
             state = state.replace(step=epoch_step)  # lr fixed within the epoch
             loss_sum += float(metrics["train_loss"])
             acc_sum += float(metrics["train_acc"])

