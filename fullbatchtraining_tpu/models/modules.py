@@ -117,7 +117,10 @@ def _smoothed_nll(logits: jnp.ndarray, labels: jnp.ndarray, smoothing: float) ->
 
     reference modules.py:86-101): off-target weight smoothing/(C-1),
     target weight 1 - smoothing."""
-    log_prob = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    # At least float32 for the softmax (bf16/f16 upcast) without truncating
+    # float64 training (trajectory-oracle parity).
+    log_prob = jax.nn.log_softmax(
+        logits.astype(jnp.promote_types(logits.dtype, jnp.float32)), axis=-1)
     classes = logits.shape[-1]
     off = smoothing / (classes - 1.0)
     weight = jnp.full_like(log_prob, off)

@@ -204,6 +204,10 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
     acc_dtype = _DTYPES[impl.accumulation_dtype]
     compute_dtype = (_DTYPES[impl.compute_dtype] if impl.compute_dtype
                      else (jnp.bfloat16 if impl.mixed_precision else param_dtype))
+    # Loss/stat scalars: at least float32 (upcasts bf16/f16 compute), but
+    # full float64 when training in double precision (trajectory-oracle
+    # parity with the reference, which keeps stats in setup['dtype']).
+    stat_dtype = jnp.promote_types(param_dtype, jnp.float32)
 
     criterion = get_loss_fn(hyp, bundle.batch_size)
     mean, std = jnp.asarray(bundle.mean), jnp.asarray(bundle.std)
@@ -227,19 +231,19 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
             if train:
                 logits, upd = model.apply(variables, x, train=True,
                                           mutable=["batch_stats"], rngs=rngs)
-                return logits.astype(jnp.float32), upd["batch_stats"]
-            return model.apply(variables, x, train=False).astype(jnp.float32), batch_stats
+                return logits.astype(stat_dtype), upd["batch_stats"]
+            return model.apply(variables, x, train=False).astype(stat_dtype), batch_stats
         logits = model.apply(variables, x, train=train,
                              mutable=["batch_stats"] if train else False, rngs=rngs)
         if train:
             logits = logits[0]
-        return logits.astype(jnp.float32), batch_stats
+        return logits.astype(stat_dtype), batch_stats
 
     def chunk_loss(params, batch_stats, images, labels, key):
         x = prepare_inputs(images, key)
         logits, new_bn = forward(params, batch_stats, x, train=True, key=key)
         loss = criterion(logits, labels)
-        correct = (logits.argmax(-1) == labels).astype(jnp.float32).sum()
+        correct = (logits.argmax(-1) == labels).astype(stat_dtype).sum()
         return loss, (new_bn, correct)
 
     grad_chunk = jax.value_and_grad(chunk_loss, has_aux=True)
@@ -396,7 +400,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         flat_imgs = images.reshape(num_blocks * chunks, sub, *images.shape[3:])
         flat_lbls = labels.reshape(num_blocks * chunks, sub)
         zeros = jax.tree.map(lambda p: jnp.zeros_like(p, acc_dtype), params)
-        init = (zeros, batch_stats, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+        init = (zeros, batch_stats, jnp.zeros((), stat_dtype), jnp.zeros((), stat_dtype),
                 jnp.zeros((), jnp.int32))
         (avg, bn, step_loss, step_preds, _), grad_norms, clipped_flags = _run_chunks(
             bodies, init, flat_imgs, flat_lbls)
@@ -545,7 +549,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
             return jnp.broadcast_to(x, (n_dev, *x.shape))
         avg = jax.tree.map(lambda p: jnp.zeros((n_dev, *p.shape), acc_dtype), params)
         bn = jax.tree.map(stack, batch_stats)
-        z = jnp.zeros((n_dev,), jnp.float32)
+        z = jnp.zeros((n_dev,), stat_dtype)
         return (avg, bn, z, z, z, z)
 
     def _init_pre_carry(params):
@@ -734,8 +738,8 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         labels = labels[:, 0]
         dev = jax.lax.axis_index(DATA_AXIS)
         block_body = _make_stochastic_body(key, lr, dev)
-        init = (params, batch_stats, opt_state, jnp.zeros((), jnp.float32),
-                jnp.zeros((), jnp.float32))
+        init = (params, batch_stats, opt_state, jnp.zeros((), stat_dtype),
+                jnp.zeros((), stat_dtype))
         idx = jnp.arange(num_blocks)
         (params, bn, opt_state, step_loss, step_preds), grad_norms = jax.lax.scan(
             block_body, init, (images, labels, idx))
@@ -772,8 +776,8 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         labels = labels[:, 0]
         dev = jax.lax.axis_index(DATA_AXIS)
         block_body = _make_stochastic_body(key, lr, dev)
-        init = (params, batch_stats, opt_state, jnp.zeros((), jnp.float32),
-                jnp.zeros((), jnp.float32))
+        init = (params, batch_stats, opt_state, jnp.zeros((), stat_dtype),
+                jnp.zeros((), stat_dtype))
         idx = bidx0 + jnp.arange(images.shape[0])
         (params, bn, opt_state, sloss, spreds), grad_norms = jax.lax.scan(
             block_body, init, (images, labels, idx))
