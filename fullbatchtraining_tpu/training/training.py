@@ -335,21 +335,29 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
                     lambda g: tree_clip_by_norm(g, batch_clip, clip_norm_type))(grads)
                 flags = clipped.astype(jnp.float32)
 
-            def fold(c, ys):
-                a, r, j = c
-                g, b = ys
-                counter = (cidx0 + j + 1).astype(acc_dtype)
-                a = jax.tree.map(lambda x, y: x + (y - x) / counter, a, g)
-                # Each vmapped update is b_j = m*r_in + (1-m)*s_j; the exact
-                # sequential EMA is r <- m*r + (b_j - m*r_in).
-                if r:
-                    r = jax.tree.map(
-                        lambda rr, bb, r0: bn_momentum * rr + (bb - bn_momentum * r0),
-                        r, b, bn_in)
-                return (a, r, j + 1), None
+            # Two-level mean (round 3): the sequential streaming mean over a
+            # group equals avg + (sum_g - group*avg)/(cidx0+group) exactly —
+            # ONE 11M-param tree update per group instead of `group` carried
+            # updates, cutting the accumulator HBM traffic by `group`x (and
+            # summing fresh gradients before rescaling is the numerically
+            # kinder order in fp32).
+            counter = (cidx0 + group).astype(acc_dtype)
+            avg = jax.tree.map(
+                lambda a, g: a + (g.sum(axis=0) - group * a) / counter,
+                avg, grads)
 
-            (avg, bn_out, _), _ = jax.lax.scan(
-                fold, (avg, bn_in, jnp.zeros((), jnp.int32)), (grads, bns))
+            if jax.tree.leaves(bn_in):
+                # Each vmapped update is b_j = m*r_in + (1-m)*s_j; the exact
+                # sequential EMA is r <- m*r + (b_j - m*r_in), scanned over
+                # the (small) stats trees only.
+                def bn_fold(r, b):
+                    return jax.tree.map(
+                        lambda rr, bb, r0: bn_momentum * rr + (bb - bn_momentum * r0),
+                        r, b, bn_in), None
+
+                bn_out, _ = jax.lax.scan(bn_fold, bn_in, bns)
+            else:
+                bn_out = bn_in
             sloss = sloss + jnp.sum(losses / chunks)
             spreds = spreds + corrects.sum()
             return (avg, bn_out, sloss, spreds, cidx0 + group), (sq_norms, flags)
