@@ -752,17 +752,25 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         (params, bn, opt_state, step_loss, step_preds), grad_norms = jax.lax.scan(
             block_body, init, (images, labels, idx))
 
+        # full_loss mirrors _record_stats for the stochastic mode too
+        # (training.py:95-102): wd and block-strength penalty terms included.
+        param_norm = tree_sqnorm(params)
+        full_grad_norm = grad_norms.mean()
+        full_loss = step_loss / num_blocks + 0.5 * weight_decay * param_norm
+        if hyp.grad_reg.block_strength != 0:
+            full_loss += lr / 4 * hyp.grad_reg.block_strength * full_grad_norm
         norm_slots = jnp.zeros((n_dev, grad_norms.shape[0]),
                                grad_norms.dtype).at[dev].set(grad_norms)
         package, norms_all = jax.lax.psum(
-            (jnp.stack([step_loss, step_preds]), norm_slots), DATA_AXIS)
+            (jnp.stack([step_loss, step_preds, full_loss, full_grad_norm]),
+             norm_slots), DATA_AXIS)
         bn = jax.lax.pmean(bn, DATA_AXIS) if bn else bn
         metrics = {
             "train_loss": package[0] / num_blocks / n_dev,
             "train_acc": package[1] / (num_blocks * chunks * sub * n_dev),
-            "param_norm": tree_sqnorm(params),
-            "grad_norm": jnp.sqrt(jax.lax.psum(grad_norms.mean(), DATA_AXIS)) / n_dev,
-            "full_loss": package[0] / num_blocks / n_dev,
+            "param_norm": param_norm,
+            "grad_norm": jnp.sqrt(package[3]) / n_dev,
+            "full_loss": package[2] / n_dev,
             "clipped_batches": jnp.zeros(()),
         }
         return params, bn, opt_state, metrics, norms_all
@@ -826,12 +834,19 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         norms_full = (norm_parts[0] if len(norm_parts) == 1
                       else jnp.concatenate(norm_parts, axis=1))
         norms_np = np.asarray(jax.device_get(norms_full))  # (n_dev, num_blocks)
+        param_norm = float(jax.device_get(_sqnorm_jit(params)))
+        full_grad_norm = norms_np.mean()
+        full_loss = (totals[0] / num_blocks / n_dev
+                     + 0.5 * weight_decay * param_norm)
+        if hyp.grad_reg.block_strength != 0:
+            full_loss += (float(lr) / 4 * hyp.grad_reg.block_strength
+                          * full_grad_norm)
         metrics = {
             "train_loss": totals[0] / num_blocks / n_dev,
             "train_acc": totals[1] / (num_blocks * chunks * sub * n_dev),
-            "param_norm": _sqnorm_jit(params),
+            "param_norm": param_norm,
             "grad_norm": float(np.sqrt(norms_np.mean(axis=1).sum()) / n_dev),
-            "full_loss": totals[0] / num_blocks / n_dev,
+            "full_loss": full_loss,
             "clipped_batches": 0.0,
             "lr": lr,
             "grad_norms_per_chunk": np.sqrt(norms_np),
