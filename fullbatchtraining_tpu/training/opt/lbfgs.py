@@ -93,6 +93,7 @@ class LBFGSDriver:
         self.d = None
         self.t = 1.0
         self.Bs = None
+        self.t_lr = 1.0
         self.fail = False
         self.n_iter = 0
         self.curv_skips = 0
@@ -109,6 +110,7 @@ class LBFGSDriver:
                 "H_diag": float(self.H_diag), "t": float(self.t),
                 "n_iter": int(self.n_iter), "curv_skips": int(self.curv_skips),
                 "fail_skips": int(self.fail_skips), "fail": bool(self.fail),
+                "t_lr": float(self.t_lr),
                 "prev_flat_grad": arr(self.prev_flat_grad),
                 "Bs": arr(self.Bs), "d": arr(self.d)}
 
@@ -120,6 +122,7 @@ class LBFGSDriver:
         self.y_hist = [jnp.asarray(v) for v in p.get("y_hist", [])]
         self.H_diag = float(p.get("H_diag", 1.0))
         self.t = float(p.get("t", 1.0))
+        self.t_lr = float(p.get("t_lr", 1.0))
         self.n_iter = int(p.get("n_iter", 0))
         self.curv_skips = int(p.get("curv_skips", 0))
         self.fail_skips = int(p.get("fail_skips", 0))
@@ -170,7 +173,14 @@ class LBFGSDriver:
         return r
 
     def curvature_update(self, flat_grad):
-        """Accept/damp/reject the (s, y) pair (lbfgs.py:323-391)."""
+        """Accept/damp/reject the (s, y) pair (lbfgs.py:323-391).
+
+        QUIRK, mirrored: s = d*t in the UNSCALED line-search units
+        (lbfgs.py:359) while the actual parameter displacement is t*lr*d —
+        at lr != 1 (e.g. during warmup) the curvature pairs and H_diag are
+        scaled by 1/lr. The Wolfe/Armijo line search absorbs the scale, and
+        matching the reference trajectory-for-trajectory requires mirroring
+        it (trajectory-oracle verified)."""
         if self.fail:
             self.fail_skips += 1
             return
@@ -199,8 +209,9 @@ class LBFGSDriver:
         """Armijo backtracking with minFunc polynomial interpolation
         (reference lbfgs.py:436-500): factor shrink on the first/illegal
         trial, 2-point quadratic on the second, 3-point cubic through the
-        previous trial afterwards, all clamped to [1e-3, 0.6]*t."""
-        t = self.lr
+        previous trial afterwards, all clamped to [1e-3, 0.6]*t. t in
+        reference units (starts at 1; lr lives in the evaluation)."""
+        t = 1.0
         t_prev, F_prev = 0.0, float("nan")
         ls_step = 0
         F_new = phi(t)
@@ -223,22 +234,67 @@ class LBFGSDriver:
             ls_step += 1
         return t, F_new, False
 
+    @staticmethod
+    def _quadinterp(x1, f1, g1, x2, f2):
+        """minFunc 2-point quadratic minimizer, clamped to [min x, max x]
+        (reference polyinterp explicit branch, lbfgs.py:67-83)."""
+        lo, hi = min(x1, x2), max(x1, x2)
+        if x1 == 0:
+            denom = 2.0 * (f2 - f1 - g1 * x2)
+            x = -g1 * x2 ** 2 / denom if denom != 0 else 0.5 * (lo + hi)
+        else:
+            a = -(f1 - f2 - g1 * (x1 - x2)) / (x1 - x2) ** 2
+            x = x1 - g1 / (2 * a) if a != 0 else 0.5 * (lo + hi)
+        if not math.isfinite(x):
+            x = 0.5 * (lo + hi)
+        return float(min(max(lo, x), hi))
+
     def _wolfe(self, phi_grad, F_k, gtd):
-        """Armijo-Wolfe bracketing (Lewis-Overton style, lbfgs.py Wolfe path)."""
-        t = self.lr
+        """Weak-Wolfe bracketing, mirroring the reference loop structure
+        exactly (lbfgs.py:515-612): t in reference units (starts at 1, the
+        lr multiplier lives in the evaluation), eta growth / bisection while
+        the upper bound is unknown, minFunc quadratic interpolation through
+        (alpha, F_a, g_a)-(beta, F_b) once it is, with the reference's clamp
+        rules — including its (beta-alpha)/2 upper clamp (upstream
+        PyTorch-LBFGS behavior, kept for trajectory parity)."""
+        t = 1.0
+        ls_step = 0
+        t_prev = 0.0
         alpha, beta = 0.0, float("inf")
+        F_a, g_a = F_k, gtd
+        F_b = float("nan")
         F_new, g_new = phi_grad(t)
-        for _ in range(self.max_ls):
-            if F_new > F_k + self.c1 * t * gtd or not _is_legal(F_new):
+        while True:
+            if ls_step >= self.max_ls:
+                F_new, g_new = phi_grad(0.0)
+                return 0.0, F_new, True
+            if F_new > F_k + self.c1 * t * gtd:
                 beta = t
-                t = 0.5 * (alpha + beta)
-            elif g_new < self.c2 * gtd:
-                alpha = t
-                t = 0.5 * (alpha + beta) if math.isfinite(beta) else t * self.eta
+                t_prev = t
+                F_b = F_new
             else:
-                return t, F_new, False
+                gtd_new = g_new
+                if gtd_new < self.c2 * gtd:
+                    alpha = t
+                    t_prev = t
+                    F_a, g_a = F_new, gtd_new
+                else:
+                    return t, F_new, False
+            if not _is_legal(F_b):
+                t = self.eta * t if beta == float("inf") else 0.5 * (alpha + beta)
+            else:
+                t = self._quadinterp(alpha, F_a, g_a, beta, F_b)
+                if beta == float("inf"):
+                    t = min(max(t, self.eta * t_prev), 2 * self.eta * t_prev)
+                else:
+                    if t < alpha + 0.2 * (beta - alpha):
+                        t = alpha + 0.2 * (beta - alpha)
+                    elif t > (beta - alpha) / 2.0:
+                        t = (beta - alpha) / 2.0
+                if t <= 0:
+                    t = (beta - alpha) / 2.0
             F_new, g_new = phi_grad(t)
-        return t, F_new, not _is_legal(F_new)
+            ls_step += 1
 
     # -- the optimizer step --------------------------------------------------
     def step(self, state, images, labels):
@@ -247,6 +303,15 @@ class LBFGSDriver:
         loss, g, bn, metrics = self._eval(state, images, labels,
                                           self._flat(state.params))
         theta0 = self._flat(state.params)
+        if self.n_iter == 0:
+            # Reference quirk, mirrored: LBFGS.step gathers param.grad BEFORE
+            # any closure has run (lbfgs.py:657 + the train loop's call
+            # order), so the first step's direction is built from the
+            # zeros+wd*theta views of _gather_flat_grad (lbfgs.py:241-251),
+            # not the true gradient. The loss F_k is still the true closure
+            # value (the Wolfe branch calls closure() first, lbfgs.py:527).
+            g = (self._wd_flat * theta0 if self.weight_decay
+                 else jnp.zeros_like(theta0))
 
         if self.n_iter > 0:
             self.curvature_update(g)
@@ -260,11 +325,16 @@ class LBFGSDriver:
             self.s_hist, self.y_hist, self.H_diag = [], [], 1.0
             d = -g
 
+        # t is bracketed in the reference's unscaled units (starts at 1);
+        # the scheduled lr multiplies inside the evaluation, as the
+        # reference's _add_update multiplies by group['lr'] (lbfgs.py:259).
+        lr_eff = lr_sched
         cache: dict[float, tuple] = {}
 
         def eval_at(t):
             if t not in cache:
-                cache[t] = self._eval(state, images, labels, theta0 + t * d)
+                cache[t] = self._eval(state, images, labels,
+                                      theta0 + (t * lr_eff) * d)
             return cache[t]
 
         if self.line_search == "Armijo":
@@ -274,17 +344,19 @@ class LBFGSDriver:
                 F, g_t, _, _ = eval_at(tt)
                 return F, float(jnp.vdot(g_t, d))
             t, F_new, self.fail = self._wolfe(phi_grad, loss, gtd)
-        else:  # 'None': fixed steplength
-            t, self.fail = self.lr, False
+        else:  # 'None': fixed steplength (reference t=1, scaled by lr)
+            t, self.fail = 1.0, False
             eval_at(t)
 
-        self.d, self.t = d, t
-        self.Bs = -t * g  # B s approximation for Powell damping (lbfgs.py:500-503)
+        self.d, self.t, self.t_lr = d, t, lr_eff
+        # B s approximation for Powell damping (lbfgs.py:500-503); unscaled
+        # t units as in the reference, see curvature_update.
+        self.Bs = -t * g
         self.n_iter += 1
 
         if t > 0:
             _, _, bn, metrics = eval_at(t) if t in cache else (None, None, bn, metrics)
-            new_params = self._unravel(theta0 + t * d)
+            new_params = self._unravel(theta0 + (t * lr_eff) * d)
         else:
             new_params = self._unravel(theta0)
         metrics = dict(metrics)

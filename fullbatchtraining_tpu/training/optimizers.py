@@ -155,8 +155,11 @@ def torch_adamw(betas=(0.9, 0.999), eps: float = 1e-8, weight_decay: float = 0.0
         count = state.count + 1
         mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
         nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
-        bc1 = 1 - b1 ** count.astype(jnp.float32)
-        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        # bias corrections at (at least) the parameter precision — a hard
+        # float32 here injects 1e-7 drift into float64 training
+        cdt = jnp.promote_types(jax.tree.leaves(params)[0].dtype, jnp.float32)
+        bc1 = 1 - b1 ** count.astype(cdt)
+        bc2 = 1 - b2 ** count.astype(cdt)
         if amsgrad:
             nu_max = jax.tree.map(jnp.maximum, state.nu_max, nu)
             denom_src = nu_max
