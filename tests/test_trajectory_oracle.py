@@ -127,7 +127,9 @@ def _jax_model(classes):
         def __call__(self, x, train: bool = True):
             x = nn.relu(nn.Conv(6, (3, 3), padding=[(1, 1)] * 2, name="c1")(x))
             x = nn.relu(nn.Conv(6, (3, 3), padding=[(1, 1)] * 2, name="c2")(x))
-            return nn.Dense(classes, name="fc")(x.mean(axis=(1, 2)))
+            # "linear" matches the reference zoo's classifier naming, which
+            # the GD-AGC clipping exemption keys on (optimizers.py:47-49)
+            return nn.Dense(classes, name="linear")(x.mean(axis=(1, 2)))
 
     return TinyNet()
 
@@ -139,17 +141,18 @@ def _torch_model(params, classes):
     model = torch.nn.Sequential()
     model.c1 = torch.nn.Conv2d(3, 6, 3, padding=1)
     model.c2 = torch.nn.Conv2d(6, 6, 3, padding=1)
-    model.fc = torch.nn.Linear(6, classes)
+    model.linear = torch.nn.Linear(6, classes)
 
     class Net(torch.nn.Module):
         def __init__(self):
             super().__init__()
-            self.c1, self.c2, self.fc = model.c1, model.c2, model.fc
+            self.c1, self.c2 = model.c1, model.c2
+            self.linear = model.linear
 
         def forward(self, x):
             x = torch.relu(self.c1(x))
             x = torch.relu(self.c2(x))
-            return self.fc(x.mean(dim=(2, 3)))
+            return self.linear(x.mean(dim=(2, 3)))
 
     net = Net()
     with torch.no_grad():
@@ -157,8 +160,10 @@ def _torch_model(params, classes):
             mod.weight.copy_(torch.tensor(
                 np.transpose(np.asarray(params[tag]["kernel"], np.float64), (3, 2, 0, 1))))
             mod.bias.copy_(torch.tensor(np.asarray(params[tag]["bias"], np.float64)))
-        net.fc.weight.copy_(torch.tensor(np.asarray(params["fc"]["kernel"], np.float64).T))
-        net.fc.bias.copy_(torch.tensor(np.asarray(params["fc"]["bias"], np.float64)))
+        net.linear.weight.copy_(torch.tensor(
+            np.asarray(params["linear"]["kernel"], np.float64).T))
+        net.linear.bias.copy_(torch.tensor(
+            np.asarray(params["linear"]["bias"], np.float64)))
     return net.to(torch.float64)
 
 
@@ -197,6 +202,24 @@ def _fix_ref_lbfgs():
         return torch.cat(views, 0)
 
     lbfgs_mod.LBFGS._gather_flat_grad = gather
+
+
+def _fix_ref_restarting():
+    """The reference RestartingLineSearch subclasses torch.optim.SGD but
+    builds its own defaults dict; modern torch's SGD.step expects the newer
+    group keys (maximize/foreach/differentiable/fused). Fill them in."""
+    sl = sys.modules["reftrain.training.additional_optimizers.sgd_linesearch"]
+    orig_init = sl.RestartingLineSearch.__init__
+
+    def init(self, *a, **k):
+        orig_init(self, *a, **k)
+        for key, val in (("maximize", False), ("foreach", None),
+                         ("differentiable", False), ("fused", None)):
+            self.defaults.setdefault(key, val)
+            for g in self.param_groups:
+                g.setdefault(key, val)
+
+    sl.RestartingLineSearch.__init__ = init
 
 
 # recipe -> (overrides beyond the shared base, compare mode). Mode "full"
@@ -239,6 +262,10 @@ RECIPES = {
     "lbfgs": (["hyp=fb1", "hyp.scheduler=null", "hyp/optim=lbfgs"], "params"),
     "fista": (["hyp=fb1", "hyp.scheduler=cosine-decay", "hyp/optim=fista"],
               "params"),
+    "restarting": (["hyp=fb1", "hyp.scheduler=cosine-decay",
+                    "hyp.optim.line_search=restarting"], "params"),
+    "agc": (["hyp=fb1", "hyp.scheduler=cosine-decay", "hyp/optim=gd_agc"],
+            "full"),
 }
 
 
@@ -283,6 +310,8 @@ def test_train_trajectory_matches_reference(recipe, config_dir,
     reftrain = _load_reference_training()
     if recipe == "lbfgs":
         _fix_ref_lbfgs()
+    if recipe == "restarting":
+        _fix_ref_restarting()
     tmodel = _torch_model(params0, bundle.classes)
     trainloader = _torch_loader(bundle.train.images, bundle.train.labels,
                                 cfg.data.batch_size, drop_last=True)
@@ -320,8 +349,8 @@ def test_train_trajectory_matches_reference(recipe, config_dir,
                "bias": tmodel.c1.bias.detach().numpy()},
         "c2": {"kernel": tmodel.c2.weight.detach().numpy().transpose(2, 3, 1, 0),
                "bias": tmodel.c2.bias.detach().numpy()},
-        "fc": {"kernel": tmodel.fc.weight.detach().numpy().T,
-               "bias": tmodel.fc.bias.detach().numpy()},
+        "linear": {"kernel": tmodel.linear.weight.detach().numpy().T,
+                   "bias": tmodel.linear.bias.detach().numpy()},
     }
     flat_ours = jax.tree.leaves(final)
     flat_ref = jax.tree.leaves(ref_final)
