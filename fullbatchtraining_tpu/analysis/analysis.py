@@ -40,8 +40,10 @@ def _grad_stats_program(model, bundle, mesh, cfg, num_blocks, chunks, sub, n_dev
 
     def chunk_grad_vector(params, batch_stats, images, labels):
         def loss_fn(p):
-            x = normalize_images(images, mean, std) if bundle.normalize \
-                else images.astype(jnp.float32) / 255.0
+            # at least float32; float64 params keep full precision (oracle)
+            cdt = jnp.promote_types(jax.tree.leaves(p)[0].dtype, jnp.float32)
+            x = normalize_images(images, mean, std, cdt) if bundle.normalize \
+                else images.astype(cdt) / 255.0
             variables = {"params": p}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
@@ -57,14 +59,17 @@ def _grad_stats_program(model, bundle, mesh, cfg, num_blocks, chunks, sub, n_dev
         labels = labels[:, 0]
         images = images.reshape(num_blocks * chunks, sub, *images.shape[3:])
         labels = labels.reshape(num_blocks * chunks, sub)
-        dim = ravel_pytree(params)[0].shape[0]
+        flat0 = ravel_pytree(params)[0]
+        acc_dt = jnp.promote_types(flat0.dtype, jnp.float32)
 
         def body(carry, xs):
             wf = carry
             vec = chunk_grad_vector(params, batch_stats, xs[0], xs[1])
-            return welford_update(wf, vec), jnp.linalg.norm(vec)
+            return (welford_update(wf, vec.astype(acc_dt)),
+                    jnp.linalg.norm(vec).astype(acc_dt))
 
-        wf, norms = jax.lax.scan(body, welford_init(dim), (images, labels))
+        wf, norms = jax.lax.scan(body, welford_init(flat0.shape[0], acc_dt),
+                                 (images, labels))
         # exact cross-device merge
         gathered = jax.lax.all_gather(wf, DATA_AXIS)
         merged = jax.tree.map(lambda x: x[0], gathered)

@@ -28,8 +28,8 @@ def welford_init(dim: int, dtype=jnp.float32) -> WelfordState:
         count=jnp.zeros((), jnp.float32),
         mean=jnp.zeros((dim,), dtype),
         m2=jnp.zeros((dim,), dtype),
-        norm_estimate=jnp.zeros((), jnp.float32),
-        squared_norm_estimate=jnp.zeros((), jnp.float32),
+        norm_estimate=jnp.zeros((), dtype),
+        squared_norm_estimate=jnp.zeros((), dtype),
     )
 
 
