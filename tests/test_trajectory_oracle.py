@@ -266,6 +266,17 @@ RECIPES = {
                     "hyp.optim.line_search=restarting"], "params"),
     "agc": (["hyp=fb1", "hyp.scheduler=cosine-decay", "hyp/optim=gd_agc"],
             "full"),
+    # evaluation / modifier / loss integration variants
+    "flips": (["hyp=fb1", "hyp.scheduler=cosine-decay",
+               "hyp.test_time_flips=True"], "full"),
+    "ema": (["hyp=fb1", "hyp.scheduler=cosine-decay", "hyp.evaluate_ema=True",
+             "hyp.eval_ema_momentum=0.9"], "full"),
+    "normbias": (["hyp=fb1", "hyp.scheduler=cosine-decay",
+                  "hyp.norm_bias.strength=0.01", "hyp.norm_bias.bias=3",
+                  "hyp.norm_bias.norm_type=2"], "full"),
+    "smooth-incorrect": (["hyp=fb1", "hyp.scheduler=cosine-decay",
+                          "hyp.label_smoothing=0.1",
+                          "hyp.loss_modification=incorrect-xent"], "full"),
 }
 
 
