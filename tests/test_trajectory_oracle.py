@@ -280,6 +280,72 @@ RECIPES = {
 }
 
 
+def test_reference_lars_is_a_noop_ours_is_not(config_dir,
+                                              _torch19_foreach_shim):
+    """REFERENCE BUG, demonstrated: the reference LARS wrapper scales p.grad
+    BEFORE delegating to inner optim.step(closure) (lars.py:61-94), but the
+    closure then recomputes p.grad, overwriting the scaling — in the
+    closure-driven train loop the trust-ratio scaling is entirely discarded.
+    The wrapper also zeroes the inner optimizer's weight decay (restored
+    only after the step), so reference LARS == the inner SGD with wd
+    dropped. Our LARS scales the actual gradients, so it must change the
+    trajectory. (We fix the bug rather than replicate it; hence no
+    trajectory oracle for LARS.)"""
+    import jax
+    import torch
+
+    from fullbatchtraining_tpu.config import load_config
+    from fullbatchtraining_tpu.data import construct_databundle
+    from fullbatchtraining_tpu.models import initialize_model
+    from fullbatchtraining_tpu.parallel import make_mesh
+    from fullbatchtraining_tpu.training.training import train
+
+    base = [
+        "model=linear", "hyp=fb1", "hyp.scheduler=cosine-decay",
+        "data.size=64", "data.path=/tmp/__traj_nodata__", "data.batch_size=16",
+        "data.normalize=False", "data.augmentations_train=",
+        "data.augmentations_val=", "hyp.steps=3", "hyp.warmup=0",
+        "hyp.sub_batch=8", "seed=0", "impl.dtype=float64",
+        "impl.accumulation_dtype=float64", "impl.mixed_precision=False",
+        "impl.validate_every_nth_step=8", "name=traj",
+    ]
+    cfg = load_config(config_dir, overrides=base)
+    bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+    model = _jax_model(bundle.classes)
+    with jax.enable_x64(True):
+        variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                     bundle.channels)
+    params0 = jax.device_get(variables["params"])
+
+    reftrain = _load_reference_training()
+    setup = {"device": torch.device("cpu"), "dtype": torch.float64}
+    ref_finals = {}
+    for mod, extra in (("none", ["hyp.optim.weight_decay=0"]), ("LARS", [])):
+        c = load_config(config_dir,
+                        overrides=base + [f"hyp/optim_modification={mod}"] + extra)
+        tmodel = _torch_model(params0, bundle.classes)
+        tl = _torch_loader(bundle.train.images, bundle.train.labels,
+                           c.data.batch_size, drop_last=True)
+        vl = _torch_loader(bundle.valid.images, bundle.valid.labels,
+                           c.data.batch_size, drop_last=False)
+        reftrain.train(tmodel, tl, vl, setup, c)
+        ref_finals[mod] = tmodel.c1.weight.detach().numpy().copy()
+    # the reference's LARS changes nothing
+    np.testing.assert_array_equal(ref_finals["none"], ref_finals["LARS"])
+
+    our_finals = {}
+    with jax.enable_x64(True):
+        for mod in ("none", "LARS"):
+            c = load_config(config_dir, overrides=base + [f"hyp/optim_modification={mod}"])
+            mesh = make_mesh(c.impl.setup, devices=np.asarray(jax.devices()[:1]))
+            b = construct_databundle(c.data, c.impl, c.hyp, seed=0)
+            state, _ = train(_jax_model(b.classes), b, mesh, c)
+            our_finals[mod] = np.asarray(
+                jax.device_get(state.params)["c1"]["kernel"])
+    # ours actually applies the trust-ratio scaling
+    assert np.abs(our_finals["none"] - our_finals["LARS"]).max() > 1e-8
+
+
 @pytest.mark.parametrize("recipe", list(RECIPES))
 def test_train_trajectory_matches_reference(recipe, config_dir,
                                             _torch19_foreach_shim):
