@@ -64,6 +64,19 @@ def system_startup(cfg):
         except RuntimeError:
             pass  # backend already initialized
 
+    cache_dir = cfg.impl.get("compilation_cache")
+    if cache_dir:
+        # Persistent XLA executable cache: repeat launches of the same
+        # recipe skip compilation entirely (measured through the axon
+        # tunnel: 80 s cold -> 0.26 s warm for a conv program). Safe to
+        # share across processes; keyed by computation + backend.
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.expanduser(str(cache_dir)))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception as err:  # unsupported backend/flag: run uncached
+            log.info("Compilation cache disabled: %s", err)
+
     from .parallel import make_mesh, setup_distributed
 
     setup_distributed(cfg.impl.setup)
