@@ -148,3 +148,44 @@ def test_two_process_full_training_loop(config_dir, tmp_path):
     np.testing.assert_allclose(multi["losses"], np.asarray(stats["train_loss"]),
                                rtol=1e-5)
     np.testing.assert_allclose(multi["params"], flat, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_streamed_stochastic_training(config_dir, tmp_path):
+    """Round-3 streamed stochastic mode under real process_count>1: segment
+    programs thread the replicated (params, opt_state) carry across
+    processes with one pmean per block; the loss trace and final params
+    match a single-process 4-device run."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    extra = ["--train", "hyp.warmup=0", "hyp.optim.lr=0.05",
+             "hyp.train_stochastic=True", "impl.hbm_epoch_max_bytes=1",
+             "impl.stream_segment_blocks=2"]
+    procs = [subprocess.Popen(
+        [sys.executable, str(WORKER), str(pid), "2", str(port), str(tmp_path)]
+        + extra,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    multi = np.load(tmp_path / "multiproc_train.npz")
+
+    cfg = load_config(config_dir, overrides=[
+        "model=linear", "data.size=64", "data.path=/tmp/__none__",
+        "data.batch_size=4", "hyp.sub_batch=4", "hyp=fb1", "hyp.warmup=0",
+        "seed=0", "data.augmentations_train=", "hyp.shuffle=True",
+        "hyp.steps=3", "hyp.optim.lr=0.05", "hyp.train_stochastic=True",
+        "impl.hbm_epoch_max_bytes=1", "impl.stream_segment_blocks=2"])
+    mesh = make_mesh(cfg.impl.setup, devices=np.asarray(jax.devices()[:4]))
+    bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+    model = construct_model(cfg.model, bundle.channels, bundle.classes)
+    from fullbatchtraining_tpu.training.training import train
+    state, stats = train(model, bundle, mesh, cfg)
+    flat = np.concatenate([np.asarray(jax.device_get(g)).ravel()
+                           for g in jax.tree.leaves(state.params)])
+    np.testing.assert_allclose(multi["losses"], np.asarray(stats["train_loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(multi["params"], flat, rtol=1e-4, atol=1e-6)
