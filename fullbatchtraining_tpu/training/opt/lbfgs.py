@@ -93,7 +93,6 @@ class LBFGSDriver:
         self.d = None
         self.t = 1.0
         self.Bs = None
-        self.t_lr = 1.0
         self.fail = False
         self.n_iter = 0
         self.curv_skips = 0
@@ -110,7 +109,6 @@ class LBFGSDriver:
                 "H_diag": float(self.H_diag), "t": float(self.t),
                 "n_iter": int(self.n_iter), "curv_skips": int(self.curv_skips),
                 "fail_skips": int(self.fail_skips), "fail": bool(self.fail),
-                "t_lr": float(self.t_lr),
                 "prev_flat_grad": arr(self.prev_flat_grad),
                 "Bs": arr(self.Bs), "d": arr(self.d)}
 
@@ -122,7 +120,6 @@ class LBFGSDriver:
         self.y_hist = [jnp.asarray(v) for v in p.get("y_hist", [])]
         self.H_diag = float(p.get("H_diag", 1.0))
         self.t = float(p.get("t", 1.0))
-        self.t_lr = float(p.get("t_lr", 1.0))
         self.n_iter = int(p.get("n_iter", 0))
         self.curv_skips = int(p.get("curv_skips", 0))
         self.fail_skips = int(p.get("fail_skips", 0))
@@ -188,11 +185,20 @@ class LBFGSDriver:
         s = self.d * self.t
         sBs = float(jnp.vdot(s, self.Bs))
         ys = float(jnp.vdot(y, s))
-        if ys > self.eps * sBs or self.damping:
+        if (ys > self.eps * sBs or self.damping) and float(jnp.vdot(s, s)) > 0:
+            # The zero-pair guard is a documented FIX: the reference appends
+            # (s=0, y) whenever damping is on (e.g. after a zero first-step
+            # pseudo-gradient at wd=0) and then divides by y.s = 0 in the
+            # two-loop recursion, NaN-ing the run (lbfgs.py:363-383 + :305).
             if self.damping and ys < self.eps * sBs and sBs != ys:
                 theta = ((1 - self.eps) * sBs) / (sBs - ys)
                 y = theta * y + (1 - theta) * self.Bs
-                ys = float(jnp.vdot(y, s))
+                # QUIRK, mirrored: the reference scales H_diag with the
+                # PRE-damping ys while the stored pair holds the damped y
+                # (lbfgs.py:358-383) — ys is deliberately NOT recomputed.
+            if float(jnp.vdot(y, s)) == 0.0:
+                self.curv_skips += 1  # degenerate pair: rho would divide by 0
+                return
             if len(self.s_hist) == self.history_size:
                 self.s_hist.pop(0)
                 self.y_hist.pop(0)
@@ -348,7 +354,7 @@ class LBFGSDriver:
             t, self.fail = 1.0, False
             eval_at(t)
 
-        self.d, self.t, self.t_lr = d, t, lr_eff
+        self.d, self.t = d, t
         # B s approximation for Powell damping (lbfgs.py:500-503); unscaled
         # t units as in the reference, see curvature_update.
         self.Bs = -t * g

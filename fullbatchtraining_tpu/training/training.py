@@ -462,8 +462,9 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
     # mean, BN stats, counters) threads through one jitted program per
     # segment. The optimizer step still performs exactly ONE psum, in the
     # finalize program. Enabled when the laid-out epoch exceeds
-    # impl.hbm_epoch_max_bytes; acc_strength grad-reg needs a second full
-    # pass over the data and is not supported streamed.
+    # impl.hbm_epoch_max_bytes. acc_strength grad-reg runs as a SECOND
+    # streamed sweep (sharded_pre_segment) whose device-stacked block-mean
+    # gradients feed the main sweep and the finalize penalty term.
     # -------------------------------------------------------------------
     carry_spec = P(DATA_AXIS)  # every carry leaf device-stacked on axis 0
     # acc_strength pre-gradients ride along as a device-stacked tree when

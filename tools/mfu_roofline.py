@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# (name, H, W, Cin, Cout, kernel, stride, count_in_net)
+# (name, H(=W), Cin, Cout, kernel, stride, count_in_net)
 RESNET18_CONVS = [
     ("stem 3x3 3->64", 32, 3, 64, 3, 1, 1),
     ("L1 3x3 64->64", 32, 64, 64, 3, 1, 4),

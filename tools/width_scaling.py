@@ -53,6 +53,9 @@ def run_width(width: int, batch: int = 2048):
     compiled = fns.full_step.lower(state, images, labels).compile()
     ca = compiled.cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    # cost_analysis counts the scan body once; multiplying the program total
+    # by the trip count also scales the once-per-step optimizer/EMA flops,
+    # a < 0.1% overcount at these shapes (body ~6e12 vs update ~1e9 flops).
     step_flops = float(ca["flops"]) * num_blocks * chunks
 
     state, metrics = compiled(state, images, labels)
