@@ -8,10 +8,11 @@ the reference's structure, each closure call is a full jitted dataset pass
 line-search loops stay in Python with jitted evals). Save/restore of
 parameters (sgd_linesearch.py:34-52) is free here - pytrees are immutable.
 
-Deviation, documented: NonMonotoneLinesearch retries in the reference reuse
-param.grad from whichever evaluation last wrote it and apply the shrink
-factor only once (sgd_linesearch.py:138-145, :166-178); here retry k uses the
-intended semantics factor^k * original_gradient.
+NonMonotoneLinesearch retries mirror the reference exactly (trajectory-
+oracle verified): each retry scales the gradient of the LATEST trial point
+once by `factor` (the reference mutates whatever p.grad the last closure
+wrote, sgd_linesearch.py:138-145, :166-178) rather than the arguably
+intended factor^k * original_gradient.
 """
 
 from __future__ import annotations
@@ -113,6 +114,11 @@ class RestartingLineSearch(_ResumableDriver):
                                                self.optim, wdt)
         params = tree_add_scaled(state.params, p_k, lr)
 
+        if not self.losses:
+            # the reference seeds the history with the first loss TWICE
+            # (state['loss'] = [loss] then falls through to append,
+            # sgd_linesearch.py:77-80) - mirrored for trajectory parity
+            self.losses.append(loss)
         if len(self.losses) < self.interval:
             self.losses.append(loss)
         else:
@@ -149,28 +155,41 @@ class NonMonotoneLinesearch(_ResumableDriver):
         grads, bn, metrics = self.fns.gradient_eval(state, images, labels)
         loss = float(metrics["train_loss"])
         wdt = wd_factors(state.params, self.hyp)
-        p_k, opt_state, _ = _descent_direction(grads, state.params, state.opt_state,
-                                               self.optim, wdt)
-        params = tree_add_scaled(state.params, p_k, lr)
 
+        def take(gr):
+            p_k, opt_state, _ = _descent_direction(gr, state.params,
+                                                   state.opt_state, self.optim, wdt)
+            return tree_add_scaled(state.params, p_k, lr), opt_state
+
+        params, opt_state = take(grads)
+
+        if not self.losses:
+            # reference seeds the history with the first loss twice
+            # (sgd_linesearch.py:158-161) - mirrored
+            self.losses.append(loss)
         if len(self.losses) < self.interval:
             self.losses.append(loss)
         else:
+            # Reference retry semantics, mirrored exactly
+            # (sgd_linesearch.py:142-178): each retry restores the initial
+            # params/momentum, scales the CURRENT p.grad once by `factor` -
+            # which after the first retry is the gradient at the latest
+            # TRIAL point, not the original - and the acceptance check
+            # compares the latest closure loss (pre-step loss on the first
+            # pass, trial-point losses afterwards). An exhausted loop keeps
+            # the last trial without recording its loss.
             recent_max = max(self.losses[-self.interval:])
-            scaled = grads
+            cur_g = grads
             for _ in range(self.max_iter):
                 if loss < recent_max:
                     self.losses.append(loss)
                     break
                 log.info("Recent maximum was %g, but new loss is %g. Reducing lr by %g.",
                          recent_max, loss, self.factor)
-                scaled = tree_scale(scaled, self.factor)
-                p_k, opt_state, _ = _descent_direction(scaled, state.params,
-                                                       state.opt_state, self.optim,
-                                                       wdt)
-                params = tree_add_scaled(state.params, p_k, lr)
+                cur_g = tree_scale(cur_g, self.factor)
+                params, opt_state = take(cur_g)
                 probe = state.replace(params=params)
-                _, bn, m2 = self.fns.gradient_eval(probe, images, labels)
+                cur_g, bn, m2 = self.fns.gradient_eval(probe, images, labels)
                 loss = float(m2["train_loss"])
         metrics["lr"] = lr
         return _finish(state, params, opt_state, bn, metrics)

@@ -205,21 +205,26 @@ def _fix_ref_lbfgs():
 
 
 def _fix_ref_restarting():
-    """The reference RestartingLineSearch subclasses torch.optim.SGD but
-    builds its own defaults dict; modern torch's SGD.step expects the newer
-    group keys (maximize/foreach/differentiable/fused). Fill them in."""
+    """The reference Restarting/NonMonotone line searches subclass
+    torch.optim.SGD but build their own defaults dict; modern torch's
+    SGD.step expects the newer group keys (maximize/foreach/differentiable/
+    fused). Fill them in."""
     sl = sys.modules["reftrain.training.additional_optimizers.sgd_linesearch"]
-    orig_init = sl.RestartingLineSearch.__init__
+    for cls in (sl.RestartingLineSearch, sl.NonMonotoneLinesearch):
+        if getattr(cls, "_defaults_patched", False):
+            continue
+        orig_init = cls.__init__
 
-    def init(self, *a, **k):
-        orig_init(self, *a, **k)
-        for key, val in (("maximize", False), ("foreach", None),
-                         ("differentiable", False), ("fused", None)):
-            self.defaults.setdefault(key, val)
-            for g in self.param_groups:
-                g.setdefault(key, val)
+        def init(self, *a, _orig=orig_init, **k):
+            _orig(self, *a, **k)
+            for key, val in (("maximize", False), ("foreach", None),
+                             ("differentiable", False), ("fused", None)):
+                self.defaults.setdefault(key, val)
+                for g in self.param_groups:
+                    g.setdefault(key, val)
 
-    sl.RestartingLineSearch.__init__ = init
+        cls.__init__ = init
+        cls._defaults_patched = True
 
 
 # recipe -> (overrides beyond the shared base, compare mode). Mode "full"
@@ -264,6 +269,10 @@ RECIPES = {
               "params"),
     "restarting": (["hyp=fb1", "hyp.scheduler=cosine-decay",
                     "hyp.optim.line_search=restarting"], "params"),
+    # interval=2 + a wild lr so the non-monotone retry path actually fires
+    "non-monotone": (["hyp=fb1", "hyp.scheduler=cosine-decay",
+                      "hyp.optim.line_search=non-monotone",
+                      "+hyp.optim.interval=2", "hyp.optim.lr=3.0"], "params"),
     "agc": (["hyp=fb1", "hyp.scheduler=cosine-decay", "hyp/optim=gd_agc"],
             "full"),
     # evaluation / modifier / loss integration variants
@@ -387,7 +396,7 @@ def test_train_trajectory_matches_reference(recipe, config_dir,
     reftrain = _load_reference_training()
     if recipe == "lbfgs":
         _fix_ref_lbfgs()
-    if recipe == "restarting":
+    if recipe in ("restarting", "non-monotone"):
         _fix_ref_restarting()
     tmodel = _torch_model(params0, bundle.classes)
     trainloader = _torch_loader(bundle.train.images, bundle.train.labels,
