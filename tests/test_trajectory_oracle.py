@@ -1,11 +1,14 @@
 """Trajectory-level golden parity: our train() vs the reference's own train().
 
 Drives the reference training loop (/root/reference/fullbatch/training/
-training.py:train, imported read-only with stub sibling packages and the
-torch-1.9 foreach shim) for several steps on a tiny no-BN convnet with
-identical fp64 weights and identical data, for the paper's fb1 / fbclip /
-gradreg-FD recipes with warmup + cosine schedule, and asserts this repo's
-train() reproduces the full parameter trajectory and the stats trace.
+training.py:train, imported read-only with stub sibling packages and
+torch-1.9 shims) for several steps on a tiny no-BN convnet with identical
+fp64 weights and identical data, across 17 recipes spanning the full-batch
+and stochastic modes, the gradient regularizer, the whole optimizer zoo
+(AdamW, Wolfe/restarting/non-monotone line searches, SAM, L-BFGS, FISTA,
+GD-AGC), and the evaluation/modifier/loss variants, and asserts this
+repo's train() reproduces the full parameter trajectory and the stats
+trace.
 
 This is the strongest accuracy-parity evidence obtainable in a zero-egress
 environment (VERDICT r2 weak #4): every subsystem the recipes touch —
