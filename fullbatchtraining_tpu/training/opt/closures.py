@@ -13,6 +13,17 @@ oracle verified): each retry scales the gradient of the LATEST trial point
 once by `factor` (the reference mutates whatever p.grad the last closure
 wrote, sgd_linesearch.py:138-145, :166-178) rather than the arguably
 intended factor^k * original_gradient.
+
+Further reference semantics mirrored on purpose (they are well-defined
+algorithm behavior that shaped the paper's trajectories, not defects -
+see PARITY.md row 23 for the policy):
+- every closure call runs the model forward, so norm running stats chain
+  through retries and Wolfe phi evaluations in call order;
+- Wolfe never re-applies the alpha the search returns: the parameters stay
+  at the LAST fresh step attempt (sgd_linesearch.py:345), even when zoom
+  exits through a cached alpha or a never-evaluated interpolant;
+- a restart leaves a zeros (non-None) momentum buffer, so the redo step is
+  (1-dampening)*grad even on step 0 (sgd_linesearch.py:53-56).
 """
 
 from __future__ import annotations
@@ -128,10 +139,15 @@ class RestartingLineSearch(_ResumableDriver):
             else:
                 log.info("Recent maximum was %g, but new loss is %g. Resetting momentum...",
                          recent_max, loss)
+                # _reset_momentum leaves a zeros (non-None) buffer, so the
+                # redo step is always buf = (1-dampening)*g even when the
+                # restart fires on step 0 (sgd_linesearch.py:53-56, :90) -
+                # force the non-first-step branch of _descent_direction.
                 zero = jax.tree.map(jnp.zeros_like, state.opt_state.momentum)
+                reset = SGDState(momentum=zero,
+                                 count=jnp.maximum(state.opt_state.count, 1))
                 p_k, opt_state, _ = _descent_direction(
-                    grads, state.params, SGDState(momentum=zero, count=state.opt_state.count),
-                    self.optim, wdt)
+                    grads, state.params, reset, self.optim, wdt)
                 params = tree_add_scaled(state.params, p_k, lr)
         metrics["lr"] = lr
         return _finish(state, params, opt_state, bn, metrics)
@@ -177,7 +193,9 @@ class NonMonotoneLinesearch(_ResumableDriver):
             # TRIAL point, not the original - and the acceptance check
             # compares the latest closure loss (pre-step loss on the first
             # pass, trial-point losses afterwards). An exhausted loop keeps
-            # the last trial without recording its loss.
+            # the last trial without recording its loss. Each retry closure
+            # runs the model forward, so norm running stats chain across
+            # retries - the probe therefore carries the latest batch_stats.
             recent_max = max(self.losses[-self.interval:])
             cur_g = grads
             for _ in range(self.max_iter):
@@ -188,7 +206,7 @@ class NonMonotoneLinesearch(_ResumableDriver):
                          recent_max, loss, self.factor)
                 cur_g = tree_scale(cur_g, self.factor)
                 params, opt_state = take(cur_g)
-                probe = state.replace(params=params)
+                probe = state.replace(params=params, batch_stats=bn)
                 cur_g, bn, m2 = self.fns.gradient_eval(probe, images, labels)
                 loss = float(m2["train_loss"])
         metrics["lr"] = lr
@@ -208,18 +226,27 @@ class WolfeGradientDescent(_ResumableDriver):
         self.alpha_max = float(cfg.hyp.optim.get("alpha_max", 10.0))
         self.max_iter = int(cfg.hyp.optim.get("max_iter", 10))
 
-    def _phi(self, state, images, labels, theta0, p_k, lr, alpha, lut):
-        """phi(a) = loss(theta0 + lr*a*p_k); phi'(a) = (grad+wd*theta) . p_k."""
+    def _phi(self, state, images, labels, theta0, p_k, lr, alpha, lut, track):
+        """phi(a) = loss(theta0 + lr*a*p_k); phi'(a) = (grad+wd*theta) . p_k.
+
+        Fresh (LUT-miss) evaluations mirror a reference closure call: norm
+        running stats chain through every evaluation in call order
+        (``track["bn"]``), and the evaluation becomes the "last attempted
+        step" (``track["last"]``) that the reference leaves the parameters
+        at (sgd_linesearch.py:266-272, :345).
+        """
         if alpha in lut:
             entry = lut[alpha]
             return entry["val"], entry["grad"], entry
         params = tree_add_scaled(theta0, p_k, lr * alpha)
-        probe = state.replace(params=params)
+        probe = state.replace(params=params, batch_stats=track["bn"])
         grads, bn, metrics = self.fns.gradient_eval(probe, images, labels)
         g = apply_wd(grads, params, wd_factors(params, self.hyp))
         entry = {"val": float(metrics["train_loss"]), "grad": float(tree_dot(g, p_k)),
                  "params": params, "bn": bn, "metrics": metrics}
         lut[alpha] = entry
+        track["bn"] = bn
+        track["last"] = entry
         return entry["val"], entry["grad"], entry
 
     @staticmethod
@@ -270,9 +297,10 @@ class WolfeGradientDescent(_ResumableDriver):
         lut: dict[float, dict] = {0.0: {"val": loss, "grad": phi0_grad,
                                         "params": theta0, "bn": bn0, "metrics": metrics}}
         phi0 = lut[0.0]
+        track = {"bn": bn0, "last": phi0}
 
         def phi_eval(alpha):
-            return self._phi(state, images, labels, theta0, p_k, lr, alpha, lut)
+            return self._phi(state, images, labels, theta0, p_k, lr, alpha, lut, track)
 
         alpha, prev_alpha, prev_loss = 1.0, 0.0, float("inf")
         for _ in range(self.max_iter):
@@ -298,8 +326,12 @@ class WolfeGradientDescent(_ResumableDriver):
         else:
             alpha = prev_alpha  # max_iter attempts: keep the last evaluated
 
-        phi_eval(alpha)  # ensure the chosen alpha is materialized
-        chosen = lut[alpha]
+        # The reference never re-applies the returned alpha: its parameters
+        # stay wherever the LAST fresh _attempt_step landed ("the last step
+        # attempt counts as successful", sgd_linesearch.py:345) - even when
+        # zoom exits through a cached alpha or returns a never-evaluated
+        # interpolant. Mirror that exactly instead of materializing `alpha`.
+        chosen = track["last"]
         metrics = dict(chosen["metrics"])
         metrics["lr"] = lr
         metrics["wolfe_alpha"] = alpha
@@ -314,21 +346,34 @@ _DRIVERS = {
 
 
 class _BlockFns:
-    """TrainFunctions facade whose gradient_eval is the per-block stochastic
-    closure program (pmean'd block gradient, grad-reg with pre_grads=None,
-    2-norm clip only - reference training.py:257-276), keyed by the current
-    block index so augmentation/dropout draws differ per block."""
+    """TrainFunctions facade the closure drivers are ALWAYS built over.
+
+    With ``bidx=None`` (the default, full-batch mode) gradient_eval
+    delegates to the full-dataset program; with an integer ``bidx``
+    (stochastic mode) it is the per-block stochastic closure program
+    (pmean'd block gradient, grad-reg with pre_grads=None, 2-norm clip only
+    - reference training.py:257-276), keyed by the block index so
+    augmentation/dropout draws differ per block. One facade per driver lets
+    a single driver object - and therefore a single loss-history/scratch
+    and one resume sidecar - serve both modes, exactly like the reference's
+    single persistent optimizer instance across train_switch_stochastic."""
 
     def __init__(self, fns):
         self._fns = fns
         self.schedule = fns.schedule
-        self.bidx = 0
+        self.bidx = None
 
     def gradient_eval(self, state, images, labels, with_modifiers=True):
+        if self.bidx is None:
+            return self._fns.gradient_eval(state, images, labels,
+                                           with_modifiers=with_modifiers)
         return self._fns.block_gradient_eval(state, images, labels, self.bidx)
 
+    def __getattr__(self, name):  # anything else: the real TrainFunctions
+        return getattr(self._fns, name)
 
-def make_stochastic_closure_step(cfg, fns, kind: str):
+
+def make_stochastic_closure_step(cfg, fns, kind: str, driver=None):
     """Per-block closure optimization in stochastic mode.
 
     Mirrors the reference's stochastic path, where optimizer.step(closure)
@@ -336,9 +381,14 @@ def make_stochastic_closure_step(cfg, fns, kind: str):
     (training.py:241-286). The line-search driver runs per block against the
     per-block gradient program; the step counter (and thus the lr schedule)
     advances once per epoch; epoch metrics aggregate over all blocks.
+
+    Pass the run's existing ``driver`` so its scratch (loss histories,
+    L-BFGS curvature pairs) carries across stochastic blocks, mode switches,
+    and checkpoint resume - the reference persists one optimizer object for
+    the whole run and checkpoints its state_dict.
     """
-    block_fns = _BlockFns(fns)
-    driver_step = make_closure_step(block_fns, cfg, kind).step
+    driver = driver if driver is not None else make_closure_step(fns, cfg, kind)
+    block_fns, driver_step = driver.fns, driver.step
     num_blocks = fns.layout[0]
 
     def step(state, images, labels):
@@ -357,6 +407,7 @@ def make_stochastic_closure_step(cfg, fns, kind: str):
             state = state.replace(step=epoch_step)  # lr fixed within the epoch
             loss_sum += float(metrics["train_loss"])
             acc_sum += float(metrics["train_acc"])
+        block_fns.bidx = None  # back to full-batch mode (train_switch_stochastic)
         state = state.replace(step=epoch_step + 1)
         metrics = dict(metrics)
         metrics["train_loss"] = loss_sum / num_blocks
@@ -368,7 +419,10 @@ def make_stochastic_closure_step(cfg, fns, kind: str):
 
 def make_closure_step(fns, cfg, kind: str):
     """Return the driver OBJECT (call driver.step(state, images, labels));
-    drivers expose get_state/set_state for checkpoint resume."""
+    drivers expose get_state/set_state for checkpoint resume. The driver is
+    built over a _BlockFns facade so the same object can also drive the
+    stochastic per-block mode (make_stochastic_closure_step)."""
+    fns = fns if isinstance(fns, _BlockFns) else _BlockFns(fns)
     if kind == "lbfgs":
         from .lbfgs import LBFGSDriver
         return LBFGSDriver(fns, cfg)

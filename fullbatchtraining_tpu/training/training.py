@@ -1255,8 +1255,11 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
                 # per-block closures (reference training.py:241-286)
                 if "stochastic_closure" not in cache:
                     from .opt.closures import make_stochastic_closure_step
+                    # reuse the run's driver: scratch (loss histories, L-BFGS
+                    # pairs) spans blocks, mode switches, and the resume
+                    # sidecar, like the reference's one optimizer object
                     cache["stochastic_closure"] = make_stochastic_closure_step(
-                        cfg, fns, fns.info["closure"])
+                        cfg, fns, fns.info["closure"], driver=driver)
                 state, metrics = cache["stochastic_closure"](state, images, labels)
             else:
                 state, metrics = step_override(state, images, labels)

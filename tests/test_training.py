@@ -531,3 +531,42 @@ def test_closure_driver_resume_is_equivalent(config_dir, tmp_path, monkeypatch):
                     jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_stochastic_closure_driver_resume_is_equivalent(config_dir, tmp_path,
+                                                        monkeypatch):
+    """In stochastic mode the per-block line search drives the run's ONE
+    driver object, so its loss history rides the same sidecar as the
+    full-batch path and survives resume (the reference checkpoints its
+    single optimizer's state_dict; training/utils.py:43-51)."""
+    monkeypatch.chdir(tmp_path)
+
+    def run(steps, ckpt=None):
+        # scheduler=none: the schedule horizon is hyp.steps, which differs
+        # between the interrupted and the straight run by construction
+        overrides = [f"hyp.steps={steps}", "data.augmentations_train=",
+                     "hyp=base_sgd", "hyp.optim.line_search=non-monotone",
+                     "+hyp.optim.interval=3", "hyp.optim.lr=2.0",
+                     "hyp.scheduler=none",
+                     "data.batch_size=8"]  # wild lr: retries consult history
+        if ckpt:
+            overrides += [f"impl.checkpoint.name={ckpt}",
+                          "impl.checkpoint.save_every_nth_step=1"]
+        cfg, mesh, bundle, model = _setup(config_dir, overrides)
+        cfg.original_cwd = str(tmp_path)
+        return train(model, bundle, mesh, cfg)
+
+    state_straight, _ = run(4)
+    run(2, ckpt="nm_resume.ckpt")
+    # the sidecar must hold the BLOCK drivers' history — with a separate
+    # (unused) full-batch driver it would be empty
+    from flax import serialization
+    sidecar = tmp_path / "checkpoints" / "nm_resume.opt.msgpack"
+    payload = serialization.msgpack_restore(sidecar.read_bytes())
+    assert len(payload["losses"]) >= 2
+    state_b, _ = run(4, ckpt="nm_resume.ckpt")  # resumes from step 2
+    assert int(state_b.step) == 4
+    for a, b in zip(jax.tree.leaves(state_straight.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)

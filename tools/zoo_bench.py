@@ -16,7 +16,7 @@ import sys
 sys.path.insert(0, str(ROOT))
 
 DEFAULT = ["resnet18", "resnet50", "vgg16", "densenet121", "pyramidnet110",
-           "nfn"]
+           "nfn", "linear"]
 
 
 def run_model(name: str, batch: int = 1024):
@@ -60,6 +60,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", nargs="+", default=DEFAULT)
     ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--out", default=None,
+                    help="JSON output path; the committed tools/zoo_bench.json"
+                         " is only overwritten when passed explicitly")
     args = ap.parse_args()
     rows = []
     print("| model | params | step time | img/s |")
@@ -74,7 +77,10 @@ def main():
         print(f"| {r['model']} | {r['params'] / 1e6:.1f}M "
               f"| {r['step_time_s']:.2f} s | {r['img_per_s']:,.0f} |",
               flush=True)
-    Path(__file__).with_suffix(".json").write_text(json.dumps(rows, indent=1))
+    if args.out:
+        Path(args.out).write_text(json.dumps(rows, indent=1))
+    else:
+        print(json.dumps(rows, indent=1))
 
 
 if __name__ == "__main__":
