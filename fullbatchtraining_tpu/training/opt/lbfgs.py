@@ -98,6 +98,7 @@ class LBFGSDriver:
         self.curv_skips = 0
         self.fail_skips = 0
         self._unravel = None
+        self._bn_cur = None  # chained batch stats across closure evals
 
     # -- checkpoint-resume state (reference checkpoints optimizer.state_dict
     # in its 5-tuple, training/utils.py:43-51) ------------------------------
@@ -129,10 +130,9 @@ class LBFGSDriver:
         self.d = opt(p.get("d"))
 
     # -- helpers -----------------------------------------------------------
-    def _flat(self, tree):
-        vec, unravel = ravel_pytree(tree)
-        self._unravel = unravel
-        return vec
+    @staticmethod
+    def _flat(tree):
+        return ravel_pytree(tree)[0]
 
     def _ensure_wd(self, params):
         """Flat per-element wd factors honoring
@@ -145,8 +145,16 @@ class LBFGSDriver:
             self._wd_flat = ravel_pytree(full)[0]
 
     def _eval(self, state, images, labels, flat_params):
-        probe = state.replace(params=self._unravel(flat_params))
+        """One closure evaluation. Norm running stats chain through EVERY
+        evaluation in call order (self._bn_cur): the reference closure runs a
+        train-mode forward on each call (reference training.py:10-23), so
+        each call applies one EMA update to the module stats — the stats
+        after the step are those of the LAST evaluation, accepted or not
+        (same chaining the SGD line-search drivers in closures.py mirror)."""
+        probe = state.replace(params=self._unravel(flat_params),
+                              batch_stats=self._bn_cur)
         grads, bn, metrics = self.fns.gradient_eval(probe, images, labels)
+        self._bn_cur = bn
         g = self._flat(grads)
         if self.weight_decay:
             g = g + self._wd_flat * flat_params
@@ -262,7 +270,15 @@ class LBFGSDriver:
         the upper bound is unknown, minFunc quadratic interpolation through
         (alpha, F_a, g_a)-(beta, F_b) once it is, with the reference's clamp
         rules — including its (beta-alpha)/2 upper clamp (upstream
-        PyTorch-LBFGS behavior, kept for trajectory parity)."""
+        PyTorch-LBFGS behavior, kept for trajectory parity).
+
+        FIX vs reference (NaN-producing defect, PARITY.md policy): the
+        reference's Wolfe loop (lbfgs.py:539-554) tests only the two Wolfe
+        inequalities, both of which are False for a NaN trial loss, so an
+        overflowed evaluation is RETURNED as a successful step and the run
+        dies at the divergence check. Here an illegal F_new is treated as an
+        Armijo violation (upper bound -> bisection), exactly as the
+        reference's own Armijo branch treats illegal losses (lbfgs.py:464)."""
         t = 1.0
         ls_step = 0
         t_prev = 0.0
@@ -274,7 +290,7 @@ class LBFGSDriver:
             if ls_step >= self.max_ls:
                 F_new, g_new = phi_grad(0.0)
                 return 0.0, F_new, True
-            if F_new > F_k + self.c1 * t * gtd:
+            if F_new > F_k + self.c1 * t * gtd or not _is_legal(F_new):
                 beta = t
                 t_prev = t
                 F_b = F_new
@@ -306,9 +322,12 @@ class LBFGSDriver:
     def step(self, state, images, labels):
         lr_sched = float(self.fns.schedule(state.step))
         self._ensure_wd(state.params)
-        loss, g, bn, metrics = self._eval(state, images, labels,
-                                          self._flat(state.params))
-        theta0 = self._flat(state.params)
+        # _unravel is captured from the PARAMS tree (not the gradients, whose
+        # leaves are in impl.accumulation_dtype): every probe and the final
+        # update must rebuild parameters in the parameter dtype
+        theta0, self._unravel = ravel_pytree(state.params)
+        self._bn_cur = state.batch_stats
+        loss, g, bn, metrics = self._eval(state, images, labels, theta0)
         if self.n_iter == 0:
             # Reference quirk, mirrored: LBFGS.step gathers param.grad BEFORE
             # any closure has run (lbfgs.py:657 + the train loop's call
@@ -361,7 +380,8 @@ class LBFGSDriver:
         self.n_iter += 1
 
         if t > 0:
-            _, _, bn, metrics = eval_at(t) if t in cache else (None, None, bn, metrics)
+            if t in cache:
+                _, _, _, metrics = eval_at(t)
             new_params = self._unravel(theta0 + (t * lr_eff) * d)
         else:
             new_params = self._unravel(theta0)
@@ -369,5 +389,5 @@ class LBFGSDriver:
         metrics["lr"] = lr_sched
         metrics["lbfgs_t"] = t
         new_state = state.replace(step=state.step + 1, params=new_params,
-                                  batch_stats=bn)
+                                  batch_stats=self._bn_cur)
         return new_state, metrics

@@ -811,7 +811,12 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         out_specs=(P(), P(), P(), P(), P()),
         check_vma=False)
     if impl.jit:
-        sharded_stoch_segment = jax.jit(sharded_stoch_segment)
+        # the caller rebinds params/bn/opt_state every segment, so the input
+        # buffers are dead: donate them (gated like the resident paths) -
+        # this mode exists precisely for the tight-on-HBM regime
+        sharded_stoch_segment = jax.jit(
+            sharded_stoch_segment,
+            donate_argnums=(0, 1, 2) if impl.donate_state else ())
 
     _sqnorm_jit = jax.jit(tree_sqnorm)
 

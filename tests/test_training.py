@@ -570,3 +570,75 @@ def test_stochastic_closure_driver_resume_is_equivalent(config_dir, tmp_path,
                     jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+# -- L-BFGS driver regressions (round-3 review fixes) -----------------------
+
+
+def _lbfgs_driver(config_dir, **opt_overrides):
+    from fullbatchtraining_tpu.training.opt.lbfgs import LBFGSDriver
+    ov = [f"hyp.optim.{k}={v}" for k, v in opt_overrides.items()]
+    cfg = load_config(config_dir, overrides=BASE + ["hyp/optim=lbfgs"] + ov)
+    return LBFGSDriver, cfg
+
+
+def test_lbfgs_wolfe_rejects_nan_trial(config_dir):
+    """A NaN trial loss must bracket (bisect), never be returned as a
+    successful step (fix of the reference's Wolfe NaN hole, lbfgs.py:539)."""
+    LBFGSDriver, cfg = _lbfgs_driver(config_dir, line_search="Wolfe")
+    d = LBFGSDriver.__new__(LBFGSDriver)
+    d.max_ls, d.c1, d.c2, d.eta = 10, 1e-4, 0.9, 2.0
+
+    def phi_grad(t):  # quadratic with an overflow region at t >= 1
+        if t >= 1.0:
+            return float("nan"), float("nan")
+        return (t - 0.5) ** 2, 2 * (t - 0.5)
+
+    t, F_new, fail = d._wolfe(phi_grad, 0.25, -1.0)
+    assert not fail and np.isfinite(F_new)
+    assert t == 0.5  # bisection of (0, 1) after the NaN upper bound
+
+
+def test_lbfgs_step_chains_bn_and_preserves_param_dtype(config_dir):
+    """Every closure evaluation applies one running-stat EMA update in call
+    order (reference closure semantics), and probe/final params are rebuilt
+    in the PARAM dtype even when gradients arrive in a different
+    accumulation dtype."""
+    from fullbatchtraining_tpu.training.training import TrainState
+
+    LBFGSDriver, cfg = _lbfgs_driver(config_dir, line_search="Armijo",
+                                     weight_decay=0.0)
+    calls = {"n": 0, "probe_dtypes": set(), "probe_bn": []}
+    target = jnp.asarray([0.7, -0.3], jnp.float32)
+
+    class FakeFns:
+        @staticmethod
+        def schedule(step):
+            return jnp.asarray(1.0)
+
+        @staticmethod
+        def gradient_eval(state, images, labels):
+            calls["n"] += 1
+            calls["probe_dtypes"].add(str(state.params["w"].dtype))
+            calls["probe_bn"].append(float(state.batch_stats["calls"]))
+            # steep quadratic so Armijo at t=1 fails and must backtrack
+            w32 = state.params["w"].astype(jnp.float32)
+            grads = {"w": (200.0 * (w32 - target)).astype(jnp.bfloat16)}
+            bn = {"calls": state.batch_stats["calls"] + 1.0}
+            loss = 100.0 * float(jnp.sum((w32 - target) ** 2))
+            return grads, bn, {"train_loss": jnp.asarray(loss)}
+
+    driver = LBFGSDriver(FakeFns, cfg)
+    state = TrainState(step=jnp.asarray(0), params={"w": jnp.zeros(2)},
+                       batch_stats={"calls": jnp.asarray(0.0)},
+                       opt_state=None)
+    # two steps: the second builds a real quasi-Newton pair/backtrack
+    for _ in range(2):
+        state, metrics = driver.step(state, None, None)
+    assert calls["n"] >= 3  # at least one backtracking evaluation happened
+    # params stay in the param dtype despite bf16 gradients
+    assert state.params["w"].dtype == jnp.float32
+    assert calls["probe_dtypes"] == {"float32"}
+    # stats chain one EMA update per evaluation, in call order
+    assert calls["probe_bn"] == [float(i) for i in range(calls["n"])]
+    assert float(state.batch_stats["calls"]) == calls["n"]
