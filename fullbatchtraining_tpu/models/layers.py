@@ -129,24 +129,27 @@ class _TorchBatchNorm(nn.Module):
     with the biased one. Matching torch here keeps eval-mode logits of
     converted checkpoints and long-trained running stats aligned with the
     reference (train-mode parity test in tests/test_model_oracles.py).
-    Statistics are computed in float32 regardless of compute dtype.
+    Statistics are computed in ``stat_dtype`` (float32 default) regardless
+    of compute dtype; float64 models (trajectory-oracle runs) pass
+    stat_dtype=float64 to match torch's all-double BN.
     """
 
     channels: int
     momentum: float = 0.9  # flax convention: ra = m * ra + (1 - m) * new
     epsilon: float = 1e-5
     scale_init: Callable = nn.initializers.ones
+    stat_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        scale = self.param("scale", self.scale_init, (self.channels,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
+        scale = self.param("scale", self.scale_init, (self.channels,), self.stat_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,), self.stat_dtype)
         ra_mean = self.variable("batch_stats", "mean",
-                                lambda: jnp.zeros(self.channels, jnp.float32))
+                                lambda: jnp.zeros(self.channels, self.stat_dtype))
         ra_var = self.variable("batch_stats", "var",
-                               lambda: jnp.ones(self.channels, jnp.float32))
+                               lambda: jnp.ones(self.channels, self.stat_dtype))
         if train:
-            xf = x.astype(jnp.float32)
+            xf = x.astype(self.stat_dtype)
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axes)
             var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
@@ -158,7 +161,7 @@ class _TorchBatchNorm(nn.Module):
                                 + (1 - self.momentum) * var * (n / max(n - 1, 1)))
         else:
             mean, var = ra_mean.value, ra_var.value
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = (x.astype(self.stat_dtype) - mean) * jax.lax.rsqrt(var + self.epsilon)
         return (y * scale + bias).astype(x.dtype)
 
 

@@ -451,3 +451,187 @@ def test_train_trajectory_matches_reference(recipe, config_dir,
     for a, b in zip(flat_ours, flat_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=rtol, atol=atol)
+
+
+# ---------------------------------------------------------------------------
+# BN-model trajectory oracle (round-3 review: the no-BN convnet cannot see
+# running-stat semantics — EMA chaining, sequential per-chunk updates, the
+# torch-unbiased running variance — at trajectory level)
+# ---------------------------------------------------------------------------
+
+
+def _jax_bn_model(classes):
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from fullbatchtraining_tpu.models.layers import _TorchBatchNorm
+
+    class TinyBNNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = nn.Conv(6, (3, 3), padding=[(1, 1)] * 2, name="c1",
+                        use_bias=False)(x)
+            x = nn.relu(_TorchBatchNorm(6, name="b1",
+                                        stat_dtype=jnp.float64)(x, train=train))
+            x = nn.Conv(6, (3, 3), padding=[(1, 1)] * 2, name="c2",
+                        use_bias=False)(x)
+            x = nn.relu(_TorchBatchNorm(6, name="b2",
+                                        stat_dtype=jnp.float64)(x, train=train))
+            return nn.Dense(classes, name="linear")(x.mean(axis=(1, 2)))
+
+    return TinyBNNet()
+
+
+def _torch_bn_model(params, classes):
+    import torch
+
+    class Net(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = torch.nn.Conv2d(3, 6, 3, padding=1, bias=False)
+            self.b1 = torch.nn.BatchNorm2d(6)
+            self.c2 = torch.nn.Conv2d(6, 6, 3, padding=1, bias=False)
+            self.b2 = torch.nn.BatchNorm2d(6)
+            self.linear = torch.nn.Linear(6, classes)
+
+        def forward(self, x):
+            x = torch.relu(self.b1(self.c1(x)))
+            x = torch.relu(self.b2(self.c2(x)))
+            return self.linear(x.mean(dim=(2, 3)))
+
+    net = Net()
+    with torch.no_grad():
+        for tag, mod in (("c1", net.c1), ("c2", net.c2)):
+            mod.weight.copy_(torch.tensor(np.transpose(
+                np.asarray(params[tag]["kernel"], np.float64), (3, 2, 0, 1))))
+        for tag, mod in (("b1", net.b1), ("b2", net.b2)):
+            mod.weight.copy_(torch.tensor(
+                np.asarray(params[tag]["scale"], np.float64)))
+            mod.bias.copy_(torch.tensor(
+                np.asarray(params[tag]["bias"], np.float64)))
+        net.linear.weight.copy_(torch.tensor(
+            np.asarray(params["linear"]["kernel"], np.float64).T))
+        net.linear.bias.copy_(torch.tensor(
+            np.asarray(params["linear"]["bias"], np.float64)))
+    return net.to(torch.float64)
+
+
+# mode "full": every stats series + final params + final running stats.
+# mode "params": final params + valid series + final running stats (closure
+# optimizers append a stats row per closure call, see RECIPES).
+# mode "params-nostats": gradreg — the reference's FD re-forward mutates
+# running stats AS A SIDE EFFECT at perturbed parameters (modules.py:228,
+# model still in train mode); this repo deliberately does not thread stats
+# through the regularizer's extra evaluations (grad_reg.py docstring), so
+# running-stat-dependent series are excluded and the deviation is asserted.
+BN_RECIPES = {
+    "fb1-bn": (["hyp=fb1", "hyp.scheduler=cosine-decay"], "full"),
+    "sgd-bn": (["hyp=base_sgd", "hyp.shuffle=False", "hyp.grad_clip=0.05"],
+               "full"),
+    "wolfe-bn": (["hyp=fb1", "hyp.scheduler=cosine-decay",
+                  "hyp.optim.line_search=wolfe"], "params"),
+    "gradreg-bn": (["hyp=gradreg", "hyp.grad_clip=0.05",
+                    "hyp.grad_reg.implementation=forward-differences"],
+                   "params-nostats"),
+}
+
+
+@pytest.mark.parametrize("recipe", list(BN_RECIPES))
+def test_bn_train_trajectory_matches_reference(recipe, config_dir,
+                                               _torch19_foreach_shim):
+    import jax
+
+    from fullbatchtraining_tpu.config import load_config
+    from fullbatchtraining_tpu.data import construct_databundle
+    from fullbatchtraining_tpu.models import initialize_model
+    from fullbatchtraining_tpu.parallel import make_mesh
+    from fullbatchtraining_tpu.training.training import train
+
+    steps = 8
+    recipe_overrides, mode = BN_RECIPES[recipe]
+    overrides = recipe_overrides + [
+        "model=linear",  # unused (we pass our own module) but must compose
+        "data.size=64", "data.path=/tmp/__traj_nodata__", "data.batch_size=16",
+        "data.normalize=False", "data.augmentations_train=",
+        "data.augmentations_val=", f"hyp.steps={steps}", "hyp.warmup=3",
+        # sub_batch == batch_size: one chunk per reference DataLoader batch,
+        # so the BN running-stat update cadence matches one-for-one
+        "hyp.sub_batch=16", "seed=0", "impl.dtype=float64",
+        "impl.accumulation_dtype=float64", "impl.mixed_precision=False",
+        "impl.validate_every_nth_step=4", "name=traj",
+    ]
+    cfg = load_config(config_dir, overrides=overrides)
+
+    with jax.enable_x64(True):
+        mesh = make_mesh(cfg.impl.setup, devices=np.asarray(jax.devices()[:1]))
+        bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+        model = _jax_bn_model(bundle.classes)
+        variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                     bundle.channels)
+        params0 = jax.device_get(variables["params"])
+        state, stats = train(model, bundle, mesh, cfg)
+        ours = {k: np.asarray(v) for k, v in stats.items()}
+        final = jax.device_get(state.params)
+        final_bn = jax.device_get(state.batch_stats)
+
+    import torch
+
+    reftrain = _load_reference_training()
+    tmodel = _torch_bn_model(params0, bundle.classes)
+    trainloader = _torch_loader(bundle.train.images, bundle.train.labels,
+                                cfg.data.batch_size, drop_last=True)
+    validloader = _torch_loader(bundle.valid.images, bundle.valid.labels,
+                                cfg.data.batch_size, drop_last=False)
+    setup = {"device": torch.device("cpu"), "dtype": torch.float64}
+    ref_stats = reftrain.train(tmodel, trainloader, validloader, setup, cfg)
+
+    if mode == "full":
+        for key in ("train_loss", "full_loss", "grad_norm", "param_norm",
+                    "valid_loss", "valid_acc", "train_acc"):
+            assert len(ref_stats[key]) == len(ours[key]), key
+            np.testing.assert_allclose(ours[key], np.asarray(ref_stats[key]),
+                                       rtol=1e-7, atol=1e-9, err_msg=key)
+    elif mode == "params":
+        for key in ("valid_loss", "valid_acc"):
+            assert len(ref_stats[key]) == len(ours[key]), key
+            np.testing.assert_allclose(ours[key], np.asarray(ref_stats[key]),
+                                       rtol=1e-6, atol=1e-8, err_msg=key)
+    else:  # params-nostats: train series only (valid uses running stats)
+        for key in ("train_loss", "grad_norm", "param_norm"):
+            assert len(ref_stats[key]) == len(ours[key]), key
+            np.testing.assert_allclose(ours[key], np.asarray(ref_stats[key]),
+                                       rtol=1e-7, atol=1e-9, err_msg=key)
+
+    ref_final = {
+        "c1": {"kernel": tmodel.c1.weight.detach().numpy().transpose(2, 3, 1, 0)},
+        "c2": {"kernel": tmodel.c2.weight.detach().numpy().transpose(2, 3, 1, 0)},
+        "b1": {"scale": tmodel.b1.weight.detach().numpy(),
+               "bias": tmodel.b1.bias.detach().numpy()},
+        "b2": {"scale": tmodel.b2.weight.detach().numpy(),
+               "bias": tmodel.b2.bias.detach().numpy()},
+        "linear": {"kernel": tmodel.linear.weight.detach().numpy().T,
+                   "bias": tmodel.linear.bias.detach().numpy()},
+    }
+    flat_ours = jax.tree.leaves(final)
+    flat_ref = jax.tree.leaves(ref_final)
+    assert len(flat_ours) == len(flat_ref)
+    rtol, atol = (1e-8, 1e-10) if mode == "full" else (1e-6, 5e-9)
+    for a, b in zip(flat_ours, flat_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=rtol, atol=atol)
+
+    # running statistics: the EMA chain itself (torch-unbiased running var,
+    # one update per chunk in data order, closure-eval chaining for wolfe)
+    for tag, mod in (("b1", tmodel.b1), ("b2", tmodel.b2)):
+        ref_mean = mod.running_mean.detach().numpy()
+        ref_var = mod.running_var.detach().numpy()
+        if mode == "params-nostats":
+            # documented deviation (grad_reg.py): the reference applied a
+            # SECOND EMA update per chunk from the FD re-forward; the
+            # trajectories above still agree, the stats must differ
+            assert np.abs(final_bn[tag]["mean"] - ref_mean).max() > 1e-12
+        else:
+            np.testing.assert_allclose(final_bn[tag]["mean"], ref_mean,
+                                       rtol=1e-7, atol=1e-9, err_msg=tag)
+            np.testing.assert_allclose(final_bn[tag]["var"], ref_var,
+                                       rtol=1e-7, atol=1e-9, err_msg=tag)
