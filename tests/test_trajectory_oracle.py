@@ -530,6 +530,11 @@ BN_RECIPES = {
                "full"),
     "wolfe-bn": (["hyp=fb1", "hyp.scheduler=cosine-decay",
                   "hyp.optim.line_search=wolfe"], "params"),
+    # L-BFGS closure-eval chaining vs the reference's own closure loop (the
+    # reference gather runs minimally patched, see _fix_ref_lbfgs; Wolfe
+    # default guarantees multi-evaluation line searches)
+    "lbfgs-bn": (["hyp=fb1", "hyp.scheduler=null", "hyp/optim=lbfgs"],
+                 "params"),
     "gradreg-bn": (["hyp=gradreg", "hyp.grad_clip=0.05",
                     "hyp.grad_reg.implementation=forward-differences"],
                    "params-nostats"),
@@ -577,6 +582,8 @@ def test_bn_train_trajectory_matches_reference(recipe, config_dir,
     import torch
 
     reftrain = _load_reference_training()
+    if recipe == "lbfgs-bn":
+        _fix_ref_lbfgs()
     tmodel = _torch_bn_model(params0, bundle.classes)
     trainloader = _torch_loader(bundle.train.images, bundle.train.labels,
                                 cfg.data.batch_size, drop_last=True)
