@@ -149,3 +149,55 @@ def detect_norm_momenta(model: nn.Module, pixels: int, channels: int) -> set:
     if "batch_stats" not in abstract:
         return set()
     return set(momenta)
+
+
+def measure_norm_stat_decay(model: nn.Module, sub: int, pixels: int,
+                            channels: int):
+    """Per-leaf decay of the train-mode running-stat update, measured.
+
+    Every norm layer here updates its stats as an affine map of the incoming
+    stats, ``b = A * r_in + c(x)`` with a constant diagonal ``A`` — plain
+    BatchNorm has ``A = momentum``, but GhostBatchNorm applies one EMA per
+    virtual chunk so its per-FORWARD decay is ``momentum**k`` with
+    ``k = batch // virtual_batch_size`` (reference SequentialGhostNorm calls
+    the shared BatchNorm2d once per chunk, modules.py:31-35). The grouped
+    accumulation scan's sequential BN fold needs the true per-forward decay,
+    so it is measured here concretely with three probe forwards at the real
+    chunk batch size (``A = b(1) - b(0)``, affinity validated against
+    ``b(2) - b(1)``), in the stats' own dtype. The probe input is random so
+    data-dependent nonlinear updates (e.g. a running max) land between the
+    probe points and fail the affinity check (a heuristic guard: probing
+    refutes affinity, it cannot prove it). Returns ``(A_tree, affine_ok)``;
+    ``(None, True)`` for models without running stats.
+    """
+    dummy = jax.random.normal(jax.random.key(1),
+                              (sub, pixels, pixels, channels), jnp.float32)
+    keys = jax.random.split(jax.random.key(0), 3)
+    rngs = {"params": keys[0], "stochdepth": keys[1], "dropout": keys[2]}
+    variables = jax.jit(
+        lambda: model.init(rngs, dummy, train=True))()
+    if "batch_stats" not in variables:
+        return None, True
+    apply_rngs = {"stochdepth": keys[1], "dropout": keys[2]}
+
+    @jax.jit
+    def probes():
+        def upd(c):
+            bn = jax.tree.map(lambda v: jnp.full_like(v, c),
+                              variables["batch_stats"])
+            _, out = model.apply(
+                {"params": variables["params"], "batch_stats": bn}, dummy,
+                train=True, mutable=["batch_stats"], rngs=apply_rngs)
+            return out["batch_stats"]
+        # probe points 0 / 0.5 / 8 (exactly representable): a kink anywhere
+        # below 8 in the incoming-stat axis breaks the extrapolation check
+        b0, b1, b2 = upd(0.0), upd(0.5), upd(8.0)
+        decay = jax.tree.map(lambda x1, x0: (x1 - x0) * 2.0, b1, b0)
+        resid = jax.tree.map(
+            lambda x2, x0, a: jnp.max(jnp.abs(x2 - x0 - 8.0 * a)),
+            b2, b0, decay)
+        return decay, resid
+
+    decay, resid = probes()
+    affine_ok = all(float(r) <= 1e-4 for r in jax.tree.leaves(resid))
+    return jax.device_get(decay) if affine_ok else None, affine_ok

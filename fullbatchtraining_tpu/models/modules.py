@@ -40,9 +40,12 @@ class GhostBatchNorm(nn.Module):
     ParallelGhostNorm (modules.py:19-83): the batch is reshaped into
     ``num_chunks = batch // virtual_batch_size`` virtual batches and
     normalized per-chunk with *shared* scale/bias (SequentialGhostNorm
-    semantics), vectorized instead of looped. Running statistics are the
-    average over chunks (order-independent, unlike the reference's
-    sequential EMA; behavioral not bitwise parity).
+    semantics), vectorized instead of looped. Running statistics apply the
+    reference's SEQUENTIAL per-chunk EMA exactly — the shared inner
+    BatchNorm2d is called once per chunk in order (modules.py:31-35), so
+    after k chunks ``ra' = m^k ra + (1-m) sum_i m^(k-1-i) stat_i`` with
+    torch's unbiased running-var factor per chunk; the weights are static,
+    so the fold stays one vectorized expression (oracle-verified).
     """
 
     channels: int
@@ -73,34 +76,42 @@ class GhostBatchNorm(nn.Module):
             out = normed.reshape(x.shape) * scale + bias
             if not self.is_initializing():
                 k = batch // csize
-                flat_mean = mean.reshape(k, self.channels).mean(0)
-                flat_var = var.reshape(k, self.channels).mean(0)
+                # sequential EMA over chunks with static weights
+                # (reference calls the shared BatchNorm2d once per chunk)
+                w = ((1 - self.momentum)
+                     * self.momentum ** jnp.arange(k - 1, -1, -1,
+                                                   dtype=ra_mean.value.dtype))
+                flat_mean = mean.reshape(k, self.channels)
+                flat_var = var.reshape(k, self.channels)
                 # torch running-var updates use the unbiased estimate
                 n = chunks.size / (k * self.channels)
-                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * flat_mean
-                ra_var.value = (self.momentum * ra_var.value
-                                + (1 - self.momentum) * flat_var * (n / max(n - 1, 1)))
+                ra_mean.value = (self.momentum ** k * ra_mean.value
+                                 + w @ flat_mean)
+                ra_var.value = (self.momentum ** k * ra_var.value
+                                + (w @ flat_var) * (n / max(n - 1, 1)))
             return out
         if train:
             # Uneven virtual batches: normalize each static slice (unrolled;
-            # chunk counts are small). Running stats average the per-chunk
-            # statistics, consistent with the vectorized path.
+            # chunk counts are small). Running stats fold sequentially per
+            # chunk, as the reference's shared inner BatchNorm2d does.
             axes = tuple(range(0, x.ndim - 1))
-            outs, means, vars_ = [], [], []
+            outs = []
+            new_mean, new_var = ra_mean.value, ra_var.value
             for start in range(0, batch, csize):
                 sl = x[start:start + csize]
                 m = jnp.mean(sl, axis=axes, keepdims=True)
                 v = jnp.var(sl, axis=axes, keepdims=True)
                 outs.append((sl - m) * jax.lax.rsqrt(v + self.epsilon))
                 n = sl.size / self.channels
-                means.append(m.reshape(self.channels))
-                vars_.append(v.reshape(self.channels) * (n / max(n - 1, 1)))
+                new_mean = (self.momentum * new_mean
+                            + (1 - self.momentum) * m.reshape(self.channels))
+                new_var = (self.momentum * new_var
+                           + (1 - self.momentum) * v.reshape(self.channels)
+                           * (n / max(n - 1, 1)))
             out = jnp.concatenate(outs, axis=0) * scale + bias
             if not self.is_initializing():
-                ra_mean.value = (self.momentum * ra_mean.value
-                                 + (1 - self.momentum) * jnp.stack(means).mean(0))
-                ra_var.value = (self.momentum * ra_var.value
-                                + (1 - self.momentum) * jnp.stack(vars_).mean(0))
+                ra_mean.value = new_mean
+                ra_var.value = new_var
             return out
         normed = (x - ra_mean.value) * jax.lax.rsqrt(ra_var.value + self.epsilon)
         return normed * scale + bias

@@ -70,12 +70,13 @@ log = logging.getLogger(__name__)
 _DTYPES = {"float": jnp.float32, "float32": jnp.float32, "float64": jnp.float64,
            "bfloat16": jnp.bfloat16, "float16": jnp.float16, "double": jnp.float64}
 
-# All norm layers update running stats as ra = m*ra + (1-m)*batch with a
-# flax-convention momentum (models/layers.py:168, models/modules.py:50). The
-# grouped accumulation path relies on one SHARED momentum to fold vmapped
-# per-chunk BN updates into the exact sequential composition; the actual
-# per-layer values are detected at make_train_functions time
-# (models.detect_norm_momenta) and grouping is disabled if they disagree.
+# All norm layers update running stats as an affine map of the incoming
+# stats, b = A*r + c(batch) (models/layers.py:168, models/modules.py:50; for
+# GhostBatchNorm the per-forward decay A is momentum**chunks). The grouped
+# accumulation path folds the vmapped per-chunk updates into the exact
+# sequential composition using the true per-leaf decay, MEASURED at
+# make_train_functions time (models.measure_norm_stat_decay); grouping is
+# disabled only if an update turns out not to be affine.
 _BN_MOMENTUM = 0.9
 
 
@@ -180,26 +181,32 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         stream_seg_blocks = num_blocks
 
     bn_momentum = float(impl.get("bn_momentum", _BN_MOMENTUM))
+    bn_decay = None
     if group > 1:
-        # The grouped-scan BN fold is only exact when every norm layer shares
-        # one momentum; detect the actual per-layer values (abstract trace,
-        # no compute) instead of trusting impl.bn_momentum blindly.
-        from ..models.models import detect_norm_momenta
+        # The grouped-scan BN fold composes per-chunk affine stat updates
+        # b = A*r + c: measure the true per-leaf decay A concretely (ghost
+        # norm's per-forward decay is momentum**chunks; heterogeneous
+        # momenta give per-layer values) instead of trusting
+        # impl.bn_momentum blindly; disable grouping only when an update is
+        # not affine in the incoming stats (then no fold can compose it).
+        from ..models.models import detect_norm_momenta, measure_norm_stat_decay
         detected = detect_norm_momenta(model, bundle.pixels, bundle.channels)
-        if len(detected) > 1:
-            log.warning(
-                "Model norm layers use heterogeneous momenta %s; the grouped "
-                "BN fold assumes one shared momentum — disabling block "
-                "grouping (impl.block_grouping=1).", sorted(detected))
-            group = 1
-        elif detected:
-            found = next(iter(detected))
-            if abs(found - bn_momentum) > 1e-9:
+        if detected:
+            bn_decay, affine_ok = measure_norm_stat_decay(
+                model, sub, bundle.pixels, bundle.channels)
+            if not affine_ok:
                 log.warning(
-                    "Model norm layers use momentum %g (impl.bn_momentum=%g); "
-                    "using the detected value for the grouped BN fold.",
-                    found, bn_momentum)
-            bn_momentum = found
+                    "A norm layer's running-stat update is not affine in the "
+                    "incoming stats; the grouped BN fold cannot compose it "
+                    "— disabling block grouping (impl.block_grouping=1).")
+                group = 1
+            elif len(detected) == 1:
+                found = next(iter(detected))
+                if abs(found - bn_momentum) > 1e-9:
+                    log.warning(
+                        "Model norm layers use momentum %g "
+                        "(impl.bn_momentum=%g); the grouped BN fold uses the "
+                        "measured per-leaf decay.", found, bn_momentum)
     param_dtype = _DTYPES[impl.dtype]
     acc_dtype = _DTYPES[impl.accumulation_dtype]
     compute_dtype = (_DTYPES[impl.compute_dtype] if impl.compute_dtype
@@ -347,13 +354,18 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
                 avg, grads)
 
             if jax.tree.leaves(bn_in):
-                # Each vmapped update is b_j = m*r_in + (1-m)*s_j; the exact
-                # sequential EMA is r <- m*r + (b_j - m*r_in), scanned over
-                # the (small) stats trees only.
+                # Each vmapped update is b_j = A*r_in + c_j (A = the measured
+                # per-leaf decay; plain BN: A = momentum, ghost norm:
+                # momentum**chunks); the exact sequential composition is
+                # r <- A*r + (b_j - A*r_in), scanned over the (small) stats
+                # trees only.
+                decay = (bn_decay if bn_decay is not None
+                         else jax.tree.map(lambda r: bn_momentum, bn_in))
+
                 def bn_fold(r, b):
                     return jax.tree.map(
-                        lambda rr, bb, r0: bn_momentum * rr + (bb - bn_momentum * r0),
-                        r, b, bn_in), None
+                        lambda rr, bb, r0, a: a * rr + (bb - a * r0),
+                        r, b, bn_in, decay), None
 
                 bn_out, _ = jax.lax.scan(bn_fold, bn_in, bns)
             else:

@@ -183,8 +183,17 @@ def test_ghostnorm_output_matches_reference_train_mode():
 
     gn = GhostBatchNorm(channels=6, virtual_batch_size=64)
     variables = gn.init(jax.random.key(0), jnp.asarray(x), train=True)
-    ours, _ = gn.apply(variables, jnp.asarray(x), train=True, mutable=["batch_stats"])
+    ours, upd = gn.apply(variables, jnp.asarray(x), train=True, mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=2e-4, atol=2e-5)
+    # running stats: the reference applies a SEQUENTIAL EMA, one update per
+    # chunk through the shared inner BatchNorm2d — ours folds the identical
+    # recursion in one vectorized expression
+    np.testing.assert_allclose(np.asarray(upd["batch_stats"]["mean"]),
+                               tmod.batchnorm.running_mean.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(upd["batch_stats"]["var"]),
+                               tmod.batchnorm.running_var.numpy(),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_wsconv_matches_reference_oracle():

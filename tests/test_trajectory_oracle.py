@@ -538,6 +538,10 @@ BN_RECIPES = {
     "gradreg-bn": (["hyp=gradreg", "hyp.grad_clip=0.05",
                     "hyp.grad_reg.implementation=forward-differences"],
                    "params-nostats"),
+    # GhostBatchNorm vs the reference's own SequentialGhostNorm module
+    # (virtual batch 8 -> 2 chunks per forward: the sequential per-chunk
+    # running-stat EMA and the shared affine pair are both exercised)
+    "ghostnorm-bn": (["hyp=fb1", "hyp.scheduler=cosine-decay"], "full"),
 }
 
 
@@ -570,7 +574,8 @@ def test_bn_train_trajectory_matches_reference(recipe, config_dir,
     with jax.enable_x64(True):
         mesh = make_mesh(cfg.impl.setup, devices=np.asarray(jax.devices()[:1]))
         bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
-        model = _jax_bn_model(bundle.classes)
+        model = (_jax_ghost_model(bundle.classes) if recipe == "ghostnorm-bn"
+                 else _jax_bn_model(bundle.classes))
         variables = initialize_model(model, jax.random.key(0), bundle.pixels,
                                      bundle.channels)
         params0 = jax.device_get(variables["params"])
@@ -584,7 +589,9 @@ def test_bn_train_trajectory_matches_reference(recipe, config_dir,
     reftrain = _load_reference_training()
     if recipe == "lbfgs-bn":
         _fix_ref_lbfgs()
-    tmodel = _torch_bn_model(params0, bundle.classes)
+    tmodel = (_torch_ghost_model(params0, bundle.classes)
+              if recipe == "ghostnorm-bn"
+              else _torch_bn_model(params0, bundle.classes))
     trainloader = _torch_loader(bundle.train.images, bundle.train.labels,
                                 cfg.data.batch_size, drop_last=True)
     validloader = _torch_loader(bundle.valid.images, bundle.valid.labels,
@@ -630,8 +637,9 @@ def test_bn_train_trajectory_matches_reference(recipe, config_dir,
     # running statistics: the EMA chain itself (torch-unbiased running var,
     # one update per chunk in data order, closure-eval chaining for wolfe)
     for tag, mod in (("b1", tmodel.b1), ("b2", tmodel.b2)):
-        ref_mean = mod.running_mean.detach().numpy()
-        ref_var = mod.running_var.detach().numpy()
+        bn = getattr(mod, "batchnorm", mod)  # SequentialGhostNorm inner BN
+        ref_mean = bn.running_mean.detach().numpy()
+        ref_var = bn.running_var.detach().numpy()
         if mode == "params-nostats":
             # documented deviation (grad_reg.py): the reference applied a
             # SECOND EMA update per chunk from the FD re-forward; the
@@ -642,3 +650,60 @@ def test_bn_train_trajectory_matches_reference(recipe, config_dir,
                                        rtol=1e-7, atol=1e-9, err_msg=tag)
             np.testing.assert_allclose(final_bn[tag]["var"], ref_var,
                                        rtol=1e-7, atol=1e-9, err_msg=tag)
+
+
+def _jax_ghost_model(classes):
+    from flax import linen as nn
+
+    from fullbatchtraining_tpu.models.modules import GhostBatchNorm
+
+    class TinyGhostNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            x = nn.Conv(6, (3, 3), padding=[(1, 1)] * 2, name="c1",
+                        use_bias=False)(x)
+            x = nn.relu(GhostBatchNorm(6, virtual_batch_size=8,
+                                       name="b1")(x, train=train))
+            x = nn.Conv(6, (3, 3), padding=[(1, 1)] * 2, name="c2",
+                        use_bias=False)(x)
+            x = nn.relu(GhostBatchNorm(6, virtual_batch_size=8,
+                                       name="b2")(x, train=train))
+            return nn.Dense(classes, name="linear")(x.mean(axis=(1, 2)))
+
+    return TinyGhostNet()
+
+
+def _torch_ghost_model(params, classes):
+    import torch
+
+    ref_modules = sys.modules["reftrain.models.modules"]
+
+    class Net(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = torch.nn.Conv2d(3, 6, 3, padding=1, bias=False)
+            self.b1 = ref_modules.SequentialGhostNorm(6, virtual_batch_size=8)
+            self.c2 = torch.nn.Conv2d(6, 6, 3, padding=1, bias=False)
+            self.b2 = ref_modules.SequentialGhostNorm(6, virtual_batch_size=8)
+            self.linear = torch.nn.Linear(6, classes)
+
+        def forward(self, x):
+            x = torch.relu(self.b1(self.c1(x)))
+            x = torch.relu(self.b2(self.c2(x)))
+            return self.linear(x.mean(dim=(2, 3)))
+
+    net = Net()
+    with torch.no_grad():
+        for tag, mod in (("c1", net.c1), ("c2", net.c2)):
+            mod.weight.copy_(torch.tensor(np.transpose(
+                np.asarray(params[tag]["kernel"], np.float64), (3, 2, 0, 1))))
+        for tag, mod in (("b1", net.b1), ("b2", net.b2)):
+            mod.batchnorm.weight.copy_(torch.tensor(
+                np.asarray(params[tag]["scale"], np.float64)))
+            mod.batchnorm.bias.copy_(torch.tensor(
+                np.asarray(params[tag]["bias"], np.float64)))
+        net.linear.weight.copy_(torch.tensor(
+            np.asarray(params["linear"]["kernel"], np.float64).T))
+        net.linear.bias.copy_(torch.tensor(
+            np.asarray(params["linear"]["bias"], np.float64)))
+    return net.to(torch.float64)
