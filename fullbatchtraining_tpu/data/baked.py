@@ -45,9 +45,13 @@ def _db_dir(cfg_db, data_name: str, size: int, aug_cfg) -> Path:
     import hashlib
 
     base = Path(os.path.expanduser(str(cfg_db.path)))
-    spec = json.dumps({"aug": dict(aug_cfg or {}),
+    # aug entries as an ORDERED list: transform order changes the bytes
+    # (reference composes in config-dict order, data_preparation.py:175-190);
+    # "v" salts the key when the bake RNG stream changes across versions
+    spec = json.dumps({"aug": [[k, v] for k, v in dict(aug_cfg or {}).items()],
                        "clean": bool(cfg_db.first_round_clean),
-                       "shuffle": bool(cfg_db.shuffle_while_writing)},
+                       "shuffle": bool(cfg_db.shuffle_while_writing),
+                       "v": 2},
                       sort_keys=True, default=str)
     tag = hashlib.sha1(spec.encode()).hexdigest()[:8]
     name = f"{data_name}_{size}_rounds{cfg_db.rounds}_{tag}"
@@ -57,7 +61,30 @@ def _db_dir(cfg_db, data_name: str, size: int, aug_cfg) -> Path:
 
 
 def bake_dataset(train: ArrayDataset, cfg_data, cfg_db, seed: int = 0) -> Path:
-    """Write the replicated-augmentation database; returns its directory."""
+    """Write the replicated-augmentation database; returns its directory.
+
+    Multi-host: process 0 bakes the shared store and every process joins a
+    global barrier before reading it (assumes the store path is a shared
+    filesystem, as the reference's LMDB did). The reference instead simply
+    FORBADE store creation under distributed (data_preparation.py:29-30,
+    can_create = not dist) — a documented upgrade, since unguarded creation
+    would let every process truncate images.npy mid-write."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        aug_cfg = cfg_db.augmentations_train
+        out_dir = _db_dir(cfg_db, cfg_data.name, len(train), aug_cfg)
+        if jax.process_index() == 0:
+            _bake_locked(train, cfg_data, cfg_db, seed)
+        multihost_utils.sync_global_devices("bake:" + out_dir.name)
+        if not (out_dir / "meta.json").exists():
+            raise RuntimeError(f"Baked store {out_dir} missing after the "
+                               "rank-0 bake; is data.db.path shared?")
+        return out_dir
+    return _bake_locked(train, cfg_data, cfg_db, seed)
+
+
+def _bake_locked(train: ArrayDataset, cfg_data, cfg_db, seed: int) -> Path:
     rounds = int(cfg_db.rounds)
     # The db group always defines augmentations_train (reference
     # lmdb_datasets.py:169 reads it unconditionally); an explicit null means
@@ -68,6 +95,7 @@ def bake_dataset(train: ArrayDataset, cfg_data, cfg_db, seed: int = 0) -> Path:
     if meta_file.exists() and not cfg_db.rebuild_existing_database:
         return out_dir
     out_dir.mkdir(parents=True, exist_ok=True)
+    meta_file.unlink(missing_ok=True)  # no stale completion marker mid-bake
 
     n, h, w, c = train.images.shape
     h, w = augmented_hw(aug_cfg, h, w)  # size-changing bakes store the output shape
@@ -80,7 +108,8 @@ def bake_dataset(train: ArrayDataset, cfg_data, cfg_db, seed: int = 0) -> Path:
         labels[:] = train.labels[order]
         log.info("Baked %d rounds with the native engine.", rounds)
     else:
-        _bake_jax(train, aug_cfg, cfg_db, rounds, seed, images, labels)
+        _bake_jax(train, aug_cfg, cfg_db, rounds, seed, images, labels,
+                  cfg_data)
 
     images.flush()
     np.save(out_dir / "labels.npy", labels)
@@ -125,17 +154,39 @@ def train_mean(train) -> tuple:
     return tuple((sample.reshape(-1, sample.shape[-1]).mean(0) / 255.0).tolist())
 
 
-def _bake_jax(train, aug_cfg, cfg_db, rounds, seed, images, labels):
+def _bake_jax(train, aug_cfg, cfg_db, rounds, seed, images, labels, cfg_data):
     """Reference-general baking path: PIL policy augmentations (RandAugment /
     AutoAugment / AugMix, data_preparation.py:157-170) run host-side per
-    batch, everything else through the jitted pipeline."""
+    batch, everything else through the jitted pipeline. Transforms compose
+    in CONFIG-DICT ORDER exactly as the reference's _parse_cfg_dict does
+    (data_preparation.py:175-190): consecutive non-policy keys collapse into
+    one jitted segment, policy keys run host-side between them."""
     aug_cfg = dict(aug_cfg or {})
-    policies = [(k, aug_cfg.pop(k)) for k in _POLICY_KEYS if k in aug_cfg]
-    augment = jax.jit(make_augment_fn(aug_cfg))
+    segments, pending = [], {}
+
+    def _flush():
+        if pending:
+            segments.append(("jax", jax.jit(make_augment_fn(dict(pending)))))
+            pending.clear()
+
+    for k, v in aug_cfg.items():
+        if k in _POLICY_KEYS:
+            _flush()
+            segments.append(("policy", k, v))
+        else:
+            pending[k] = v
+    _flush()
+    has_policy = any(seg[0] == "policy" for seg in segments)
     n = len(train.images)
     rng = np.random.default_rng(seed)
     key = jax.random.key(seed)
-    fill_mean = train_mean(train) if policies else None  # constant; hoisted
+    # policy fill color and translate_const come from the DATA config, as in
+    # the reference (_get_autoaugment(img_size_min=cfg_data.pixels,
+    # mean=cfg_data.mean), data_preparation.py:161) — NOT from the stored
+    # image size, which can be the pre-resize cache shape for ImageNet.
+    fill_mean = (tuple(cfg_data.mean) if cfg_data.get("mean") is not None
+                 else train_mean(train)) if has_policy else None
+    policy_size = int(cfg_data.get("pixels") or train.images.shape[1])
     for r in range(rounds):
         order = rng.permutation(n) if cfg_db.shuffle_while_writing else np.arange(n)
         clean = r == 0 and bool(cfg_db.first_round_clean)
@@ -151,14 +202,23 @@ def _bake_jax(train, aug_cfg, cfg_db, rounds, seed, images, labels):
                 left = (batch.shape[2] - tw) // 2
                 batch = batch[:, top:top + th, left:left + tw]
             if not clean:
-                for pkey, spec in policies:
-                    from .policy_augment import apply_policy_batch
+                # stride by n, not a constant: (round, batch) seed pairs must
+                # never collide for datasets over the stride (ImageNet)
+                stream = r * n + start
+                for si, seg in enumerate(segments):
+                    if seg[0] == "policy":
+                        from .policy_augment import apply_policy_batch
 
-                    batch = apply_policy_batch(batch, pkey, spec, fill_mean,
-                                               seed=seed + r * 100_000 + start)
-                batch_key = jax.random.fold_in(key, r * 100_000 + start)
-                out = np.asarray(augment(batch, batch_key))
-                batch = np.clip(out, 0, 255).astype(np.uint8) if out.dtype != np.uint8 else out
+                        batch = apply_policy_batch(
+                            batch, seg[1], seg[2], fill_mean,
+                            seed=seed + stream + si,
+                            img_size=policy_size)
+                    else:
+                        batch_key = jax.random.fold_in(
+                            jax.random.fold_in(key, stream), si)
+                        out = np.asarray(seg[1](batch, batch_key))
+                        batch = (np.clip(out, 0, 255).astype(np.uint8)
+                                 if out.dtype != np.uint8 else out)
             images[r, start:start + len(idx)] = batch
             labels[r, start:start + len(idx)] = train.labels[idx]
         log.info("Baked augmentation round %d/%d", r + 1, rounds)

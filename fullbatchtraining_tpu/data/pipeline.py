@@ -58,6 +58,13 @@ class DataBundle:
 
 def construct_databundle(cfg_data, cfg_impl=None, cfg_hyp=None, dryrun: bool = False,
                          seed: int = 0) -> DataBundle:
+    """Datasets + augmentation fns + layout constants for one data config.
+
+    ``cfg_impl``/``cfg_hyp`` are accepted for call-site symmetry with the
+    reference's ``construct_dataloader(cfg_data, cfg_impl, ...)`` and are
+    currently unused — every impl/hyp-dependent data behavior (device
+    staging, streaming, shuffle, semi-stochastic rounds) lives in the
+    training layer, which reads those configs directly."""
     train, valid = construct_datasets(cfg_data, dryrun=dryrun)
 
     baked = None

@@ -428,11 +428,15 @@ def get_policy_transform(key: str, spec: str, img_size: int, mean) -> Callable:
 
 
 def apply_policy_batch(images: np.ndarray, key: str, spec: str, mean,
-                       seed: int = 0) -> np.ndarray:
-    """Apply a policy transform to a uint8 NHWC batch (bake-time path)."""
+                       seed: int = 0, img_size: int | None = None) -> np.ndarray:
+    """Apply a policy transform to a uint8 NHWC batch (bake-time path).
+
+    ``img_size`` sets translate_const's base (the reference passes
+    cfg_data.pixels, data_preparation.py:161); defaults to the batch's own
+    H for callers without a data config."""
     random.seed(seed)
     np.random.seed(seed % 2**32)
-    transform = get_policy_transform(key, spec, images.shape[1], mean)
+    transform = get_policy_transform(key, spec, img_size or images.shape[1], mean)
     out = np.empty_like(images)
     for i in range(len(images)):
         out[i] = np.asarray(transform(Image.fromarray(images[i])), np.uint8)

@@ -170,23 +170,27 @@ def measure_norm_stat_decay(model: nn.Module, sub: int, pixels: int,
     refutes affinity, it cannot prove it). Returns ``(A_tree, affine_ok)``;
     ``(None, True)`` for models without running stats.
     """
+    # Everything concrete is passed as a jit ARGUMENT, never closed over:
+    # a nullary jit makes the whole probe a compile-time constant and XLA's
+    # HLO constant folder then evaluates three full train-mode forwards with
+    # its slow single-threaded evaluator (minutes per ResNet on one core,
+    # observed as a startup "hang").
     dummy = jax.random.normal(jax.random.key(1),
                               (sub, pixels, pixels, channels), jnp.float32)
     keys = jax.random.split(jax.random.key(0), 3)
     rngs = {"params": keys[0], "stochdepth": keys[1], "dropout": keys[2]}
-    variables = jax.jit(
-        lambda: model.init(rngs, dummy, train=True))()
+    variables = jax.jit(model.init, static_argnames="train")(
+        rngs, dummy, train=True)
     if "batch_stats" not in variables:
         return None, True
     apply_rngs = {"stochdepth": keys[1], "dropout": keys[2]}
 
     @jax.jit
-    def probes():
+    def probes(params, batch_stats, x):
         def upd(c):
-            bn = jax.tree.map(lambda v: jnp.full_like(v, c),
-                              variables["batch_stats"])
+            bn = jax.tree.map(lambda v: jnp.full_like(v, c), batch_stats)
             _, out = model.apply(
-                {"params": variables["params"], "batch_stats": bn}, dummy,
+                {"params": params, "batch_stats": bn}, x,
                 train=True, mutable=["batch_stats"], rngs=apply_rngs)
             return out["batch_stats"]
         # probe points 0 / 0.5 / 8 (exactly representable): a kink anywhere
@@ -198,6 +202,6 @@ def measure_norm_stat_decay(model: nn.Module, sub: int, pixels: int,
             b2, b0, decay)
         return decay, resid
 
-    decay, resid = probes()
+    decay, resid = probes(variables["params"], variables["batch_stats"], dummy)
     affine_ok = all(float(r) <= 1e-4 for r in jax.tree.leaves(resid))
     return jax.device_get(decay) if affine_ok else None, affine_ok

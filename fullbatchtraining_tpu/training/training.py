@@ -1112,9 +1112,11 @@ def stage_epoch(bundle: DataBundle, fns: TrainFunctions, mesh: Mesh, cfg, step: 
     shuffle=True keeps the epoch HBM-resident and permutes on device per step
     — including under multi-process, where every process computes the same
     host-PRNG order (host-gather fallback only when impl.device_shuffle is
-    off, in semi-stochastic mode, or above device_shuffle_max_bytes);
-    semi-stochastic picks bake round step % rounds (reference
-    construct_subset_dataloader semantics)."""
+    off, in streamed mode, or above device_shuffle_max_bytes).
+    Semi-stochastic picks bake round step % rounds (reference
+    construct_subset_dataloader semantics); when the whole rounds store fits
+    the device_shuffle_max_bytes budget it is HBM-resident too, and the
+    per-step round pick + shuffle is one on-device gather."""
     hyp = cfg.hyp
     num_blocks, chunks, sub = fns.layout
     semi = hyp.train_semi_stochastic and bundle.baked is not None
@@ -1124,6 +1126,24 @@ def stage_epoch(bundle: DataBundle, fns: TrainFunctions, mesh: Mesh, cfg, step: 
         return cache["static"]
 
     if semi:
+        # HBM-resident rounds: upload the WHOLE baked store once and turn the
+        # per-step round pick + shuffle into an on-device gather (only an
+        # int32 order vector crosses the host link per step). The reference
+        # re-reads the round from LMDB and re-collates every epoch
+        # (data_preparation.py:89-112); on TPU that re-upload dominates the
+        # step, so residency is the native design whenever the store fits
+        # the device_shuffle_max_bytes budget.
+        flat = bundle.baked.flat()
+        if (not fns.streamed and bool(cfg.impl.get("device_shuffle", True))
+                and flat.images.nbytes <= int(cfg.impl.get(
+                    "device_shuffle_max_bytes", 8 << 30))):
+            if "semi_stager" not in cache:
+                cache["semi_stager"] = _make_device_stager(
+                    flat.images, flat.labels, fns, mesh)
+            n = int(bundle.baked.meta["size"])  # round size, no memmap read
+            order = (_epoch_order(cfg, step, n) if shuffled
+                     else np.arange(n, dtype=np.int64))
+            return cache["semi_stager"](order + (int(step) % bundle.baked.rounds) * n)
         ds = bundle.baked.round(step)
         images, labels = ds.images, ds.labels
     else:

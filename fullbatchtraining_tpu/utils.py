@@ -52,6 +52,27 @@ def job_startup(cfg, script_name: str = "job"):
     return cfg
 
 
+def _host_fingerprint() -> str:
+    """Stable 8-hex tag for this host's CPU ISA (see compilation-cache note).
+
+    Uses /proc/cpuinfo's flags line (the feature set XLA:CPU AOT compiles
+    against); falls back to the platform triple where /proc is absent."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    spec = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+            else:
+                spec = platform.platform()
+    except OSError:
+        spec = platform.platform()
+    return hashlib.sha1(spec.encode()).hexdigest()[:8]
+
+
 def system_startup(cfg):
     """Initialize distributed runtime (if any) and build the mesh."""
     import jax
@@ -70,9 +91,17 @@ def system_startup(cfg):
         # recipe skip compilation entirely (measured through the axon
         # tunnel: 80 s cold -> 0.26 s warm for a conv program). Safe to
         # share across processes; keyed by computation + backend.
+        # XLA:CPU AOT executables additionally embed the HOST machine's ISA
+        # features, which the cache key does NOT cover - an entry written on
+        # another machine loads with a feature-mismatch warning and can then
+        # misexecute (observed: a cross-host entry spinning forever on this
+        # host). Scope the cache per host fingerprint so shared filesystems
+        # and reimaged machines stay safe.
         try:
-            jax.config.update("jax_compilation_cache_dir",
-                              os.path.expanduser(str(cache_dir)))
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(os.path.expanduser(str(cache_dir)),
+                             f"host-{_host_fingerprint()}"))
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         except Exception as err:  # unsupported backend/flag: run uncached
             log.info("Compilation cache disabled: %s", err)

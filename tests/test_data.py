@@ -242,3 +242,28 @@ def test_bake_size_changing_crop(config_dir, tmp_path):
         "data.db.first_round_clean=True", "data.batch_size=8", "hyp=fb1"])
     bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
     assert bundle.baked.round(0).images.shape[1:3] == (32, 32)  # 64 -> crop 32
+
+
+def test_bake_transform_order_matters(config_dir, tmp_path):
+    """Transforms compose in config-dict order, as the reference's
+    _parse_cfg_dict does (data_preparation.py:175-190): crop-then-policy and
+    policy-then-crop are different bakes with different store keys."""
+    def bake(order_tag, overrides):
+        cfg = load_config(config_dir, overrides=[
+            "data.size=16", f"data.path={tmp_path}/none", "data.db=baked",
+            f"data.db.path={tmp_path}/db_{order_tag}", "data.db.rounds=2",
+            "data.db.first_round_clean=False",
+            "data.db.shuffle_while_writing=False"] + overrides)
+        return construct_databundle(cfg.data)
+
+    # whole-dict overrides: +key additions merge into the yaml defaults and
+    # keep their positions, so only a replacement can flip composition order
+    crop_first = bake("a", [
+        "data.db.augmentations_train="
+        "{RandomCrop:[32,4], RandAugment: rand-m7-n1}"])
+    policy_first = bake("b", [
+        "data.db.augmentations_train="
+        "{RandAugment: rand-m7-n1, RandomCrop:[32,4]}"])
+    assert crop_first.baked.dir.name != policy_first.baked.dir.name
+    assert not np.array_equal(crop_first.baked.round(0).images,
+                              policy_first.baked.round(0).images)

@@ -271,6 +271,25 @@ def test_device_shuffle_with_replacement(config_dir):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_semi_stochastic_resident_matches_host(config_dir, tmp_path):
+    """HBM-resident baked rounds: the on-device round pick + shuffle stages
+    bitwise the same epoch as the host re-upload path, for both shuffle
+    settings and across the round wrap (step % rounds)."""
+    cfg, mesh, bundle, model = _setup(config_dir, [
+        "hyp=base_sgd", "data.db=baked", f"data.db.path={tmp_path}/db",
+        "data.db.rounds=2", "hyp.train_semi_stochastic=True"])
+    for shuffle in (True, False):
+        cfg.hyp.shuffle = shuffle
+        fns = make_train_functions(model, bundle, mesh, cfg)
+        for step in (0, 1, 3):  # round 1, round 0 again via the wrap
+            dev = stage_epoch(bundle, fns, mesh, cfg, step, {})
+            cfg.impl.device_shuffle = False
+            host = stage_epoch(bundle, fns, mesh, cfg, step, {})
+            cfg.impl.device_shuffle = True
+            for a, b in zip(dev, host):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def _tiny_bn_model():
     from flax import linen as nn
 
