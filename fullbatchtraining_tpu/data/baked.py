@@ -36,27 +36,33 @@ log = logging.getLogger(__name__)
 _BAKE_BATCH = 1024
 
 
-def _db_dir(cfg_db, data_name: str, size: int, aug_cfg) -> Path:
+def _db_dir(cfg_db, cfg_data, size: int, aug_cfg, tmp_token=None) -> Path:
     """The store path encodes everything that changes the baked bytes
     (reference encodes the transform repr + first_round_clean in the LMDB
     path, lmdb_datasets.py:171-175), so config changes never silently reuse
     a stale store. temporary_database bakes get a unique directory that the
-    exit cleanup removes without touching persistent stores."""
+    exit cleanup removes without touching persistent stores; under multi-host
+    ``tmp_token`` carries rank 0's pid so every host computes the same path."""
     import hashlib
 
     base = Path(os.path.expanduser(str(cfg_db.path)))
     # aug entries as an ORDERED list: transform order changes the bytes
     # (reference composes in config-dict order, data_preparation.py:175-190);
     # "v" salts the key when the bake RNG stream changes across versions
-    spec = json.dumps({"aug": [[k, v] for k, v in dict(aug_cfg or {}).items()],
-                       "clean": bool(cfg_db.first_round_clean),
-                       "shuffle": bool(cfg_db.shuffle_while_writing),
-                       "v": 2},
-                      sort_keys=True, default=str)
+    spec = {"aug": [[k, v] for k, v in dict(aug_cfg or {}).items()],
+            "clean": bool(cfg_db.first_round_clean),
+            "shuffle": bool(cfg_db.shuffle_while_writing),
+            "v": 3}
+    if any(k in _POLICY_KEYS for k in dict(aug_cfg or {})):
+        # Policy geometry changes the baked bytes: fill color and
+        # translate_const come from the DATA config (_bake_jax below), so a
+        # pixels/mean change must not reuse a store baked at other values.
+        spec["policy_geom"] = [cfg_data.get("pixels"), cfg_data.get("mean")]
+    spec = json.dumps(spec, sort_keys=True, default=str)
     tag = hashlib.sha1(spec.encode()).hexdigest()[:8]
-    name = f"{data_name}_{size}_rounds{cfg_db.rounds}_{tag}"
+    name = f"{cfg_data.name}_{size}_rounds{cfg_db.rounds}_{tag}"
     if cfg_db.get("temporary_database", False):
-        name += f"_tmp{os.getpid()}"
+        name += f"_tmp{tmp_token if tmp_token is not None else os.getpid()}"
     return base / name
 
 
@@ -72,10 +78,17 @@ def bake_dataset(train: ArrayDataset, cfg_data, cfg_db, seed: int = 0) -> Path:
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
+        tmp_token = None
+        if cfg_db.get("temporary_database", False):
+            # The tmp suffix must be identical on every host (rank k reads the
+            # store rank 0 baked), so broadcast rank 0's pid instead of using
+            # each process's own.
+            tmp_token = int(multihost_utils.broadcast_one_to_all(
+                np.asarray(os.getpid(), np.int64)))
         aug_cfg = cfg_db.augmentations_train
-        out_dir = _db_dir(cfg_db, cfg_data.name, len(train), aug_cfg)
+        out_dir = _db_dir(cfg_db, cfg_data, len(train), aug_cfg, tmp_token)
         if jax.process_index() == 0:
-            _bake_locked(train, cfg_data, cfg_db, seed)
+            _bake_locked(train, cfg_data, cfg_db, seed, tmp_token)
         multihost_utils.sync_global_devices("bake:" + out_dir.name)
         if not (out_dir / "meta.json").exists():
             raise RuntimeError(f"Baked store {out_dir} missing after the "
@@ -84,43 +97,59 @@ def bake_dataset(train: ArrayDataset, cfg_data, cfg_db, seed: int = 0) -> Path:
     return _bake_locked(train, cfg_data, cfg_db, seed)
 
 
-def _bake_locked(train: ArrayDataset, cfg_data, cfg_db, seed: int) -> Path:
+def _bake_locked(train: ArrayDataset, cfg_data, cfg_db, seed: int,
+                 tmp_token=None) -> Path:
     rounds = int(cfg_db.rounds)
     # The db group always defines augmentations_train (reference
     # lmdb_datasets.py:169 reads it unconditionally); an explicit null means
     # a clean replicated store, NOT a fallback to the data group's pipeline.
     aug_cfg = cfg_db.augmentations_train
-    out_dir = _db_dir(cfg_db, cfg_data.name, len(train), aug_cfg)
+    out_dir = _db_dir(cfg_db, cfg_data, len(train), aug_cfg, tmp_token)
     meta_file = out_dir / "meta.json"
     if meta_file.exists() and not cfg_db.rebuild_existing_database:
         return out_dir
     out_dir.mkdir(parents=True, exist_ok=True)
-    meta_file.unlink(missing_ok=True)  # no stale completion marker mid-bake
 
-    n, h, w, c = train.images.shape
-    h, w = augmented_hw(aug_cfg, h, w)  # size-changing bakes store the output shape
-    images = np.lib.format.open_memmap(
-        out_dir / "images.npy", mode="w+", dtype=np.uint8, shape=(rounds, n, h, w, c))
-    labels = np.empty((rounds, n), np.int32)
+    import fcntl
 
-    order = _bake_native(train, aug_cfg, cfg_db, rounds, seed, images)
-    if order is not None:
-        labels[:] = train.labels[order]
-        log.info("Baked %d rounds with the native engine.", rounds)
-    else:
-        _bake_jax(train, aug_cfg, cfg_db, rounds, seed, images, labels,
-                  cfg_data)
+    # Cross-JOB exclusion (the reference serialized writers through LMDB's
+    # own file locking): two concurrent same-config jobs must not interleave
+    # writes into one images.npy memmap. flock is advisory but both writers
+    # are this function.
+    with open(out_dir / ".bake.lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            if meta_file.exists() and not cfg_db.rebuild_existing_database:
+                return out_dir  # another job completed the bake while we waited
+            meta_file.unlink(missing_ok=True)  # no stale marker mid-bake
 
-    images.flush()
-    np.save(out_dir / "labels.npy", labels)
-    meta = {
-        "name": cfg_data.name, "rounds": rounds, "size": n,
-        "shape": [h, w, c], "classes": int(train.classes),
-        "first_round_clean": bool(cfg_db.first_round_clean),
-        "shuffle_while_writing": bool(cfg_db.shuffle_while_writing),
-    }
-    meta_file.write_text(json.dumps(meta))
-    return out_dir
+            n, h, w, c = train.images.shape
+            h, w = augmented_hw(aug_cfg, h, w)  # size-changing bakes store the output shape
+            images = np.lib.format.open_memmap(
+                out_dir / "images.npy", mode="w+", dtype=np.uint8,
+                shape=(rounds, n, h, w, c))
+            labels = np.empty((rounds, n), np.int32)
+
+            order = _bake_native(train, aug_cfg, cfg_db, rounds, seed, images)
+            if order is not None:
+                labels[:] = train.labels[order]
+                log.info("Baked %d rounds with the native engine.", rounds)
+            else:
+                _bake_jax(train, aug_cfg, cfg_db, rounds, seed, images, labels,
+                          cfg_data)
+
+            images.flush()
+            np.save(out_dir / "labels.npy", labels)
+            meta = {
+                "name": cfg_data.name, "rounds": rounds, "size": n,
+                "shape": [h, w, c], "classes": int(train.classes),
+                "first_round_clean": bool(cfg_db.first_round_clean),
+                "shuffle_while_writing": bool(cfg_db.shuffle_while_writing),
+            }
+            meta_file.write_text(json.dumps(meta))
+            return out_dir
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
 
 
 def _bake_native(train, aug_cfg, cfg_db, rounds, seed, images) -> np.ndarray | None:
@@ -146,6 +175,17 @@ def _bake_native(train, aug_cfg, cfg_db, rounds, seed, images) -> np.ndarray | N
 
 
 _POLICY_KEYS = ("RandAugment", "AutoAugment", "AugMix")
+
+
+def _policy_seed(seed: int, r: int, start: int, si: int) -> int:
+    """Structured seed for one (round, batch-start, segment) policy call.
+
+    SeedSequence mixing, not addition: ``seed + (r*n + start) + si`` collides
+    across (round, batch, segment) triples whenever n % _BAKE_BATCH != 0
+    (e.g. round r's last partial batch vs round r+1's first batch), replaying
+    byte-identical augmentations where the store promises independent ones."""
+    return int(np.random.SeedSequence(
+        [seed & 0xFFFFFFFF, r, start, si]).generate_state(1)[0])
 
 
 def train_mean(train) -> tuple:
@@ -211,7 +251,7 @@ def _bake_jax(train, aug_cfg, cfg_db, rounds, seed, images, labels, cfg_data):
 
                         batch = apply_policy_batch(
                             batch, seg[1], seg[2], fill_mean,
-                            seed=seed + stream + si,
+                            seed=_policy_seed(seed, r, start, si),
                             img_size=policy_size)
                     else:
                         batch_key = jax.random.fold_in(

@@ -179,10 +179,13 @@ def measure_norm_stat_decay(model: nn.Module, sub: int, pixels: int,
                               (sub, pixels, pixels, channels), jnp.float32)
     keys = jax.random.split(jax.random.key(0), 3)
     rngs = {"params": keys[0], "stochdepth": keys[1], "dropout": keys[2]}
+    # Abstract-trace the stat check first so stat-free models (NFNets) skip
+    # the concrete init/probe compile entirely.
+    if "batch_stats" not in jax.eval_shape(
+            lambda: model.init(rngs, dummy, train=True)):
+        return None, True
     variables = jax.jit(model.init, static_argnames="train")(
         rngs, dummy, train=True)
-    if "batch_stats" not in variables:
-        return None, True
     apply_rngs = {"stochdepth": keys[1], "dropout": keys[2]}
 
     @jax.jit

@@ -108,6 +108,11 @@ class LBFGSDriver:
             self._vec_sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
             self._rep_sharding = NamedSharding(mesh, PartitionSpec())
             self._n_shards = mesh.devices.size
+            # Multi-process meshes cannot reshard eagerly (device_put across
+            # non-addressable devices raises); a jitted identity with
+            # out_shardings is the SPMD-safe scatter/gather. Compiled once.
+            self._scatter = jax.jit(lambda v: v, out_shardings=self._vec_sharding)
+            self._gather = jax.jit(lambda v: v, out_shardings=self._rep_sharding)
 
         # quasi-Newton memory (device vectors, python-list history)
         self.s_hist: list[jax.Array] = []
@@ -127,32 +132,47 @@ class LBFGSDriver:
     # -- checkpoint-resume state (reference checkpoints optimizer.state_dict
     # in its 5-tuple, training/utils.py:43-51) ------------------------------
     def get_state(self):
-        cut = self._size  # strip the shard padding; [:None] is the whole array
-        def arr(v):
-            return np.asarray(v)[:cut] if v is not None else np.zeros((0,), np.float32)
-        return {"s_hist": [np.asarray(v)[:cut] for v in self.s_hist],
-                "y_hist": [np.asarray(v)[:cut] for v in self.y_hist],
+        """Checkpoint payload, always shard- and padding-free.
+
+        Sharded vectors gather through ``_unshard`` (which also strips the
+        padding) so multi-process runs work too — the gather is a collective,
+        so under process_count>1 EVERY process must call get_state even
+        though only rank 0 writes the file (save_driver_state does this)."""
+        def host(v):
+            if v is None:
+                return np.zeros((0,), np.float32)
+            return np.asarray(self._unshard(v))
+        return {"s_hist": [host(v) for v in self.s_hist],
+                "y_hist": [host(v) for v in self.y_hist],
                 "H_diag": float(self.H_diag), "t": float(self.t),
                 "n_iter": int(self.n_iter), "curv_skips": int(self.curv_skips),
                 "fail_skips": int(self.fail_skips), "fail": bool(self.fail),
-                "prev_flat_grad": arr(self.prev_flat_grad),
-                "Bs": arr(self.Bs), "d": arr(self.d)}
+                "prev_flat_grad": host(self.prev_flat_grad),
+                "Bs": host(self.Bs), "d": host(self.d)}
 
     def set_state(self, p):
-        def opt(v):
+        def track(v):
+            """Shard one unpadded checkpoint vector, recording its length so
+            a get_state BEFORE the first step (preemption mid-stage) strips
+            the padding instead of leaking it into the next checkpoint."""
+            if v is None:
+                return None
             v = np.asarray(v)
-            return self._shard(jnp.asarray(v)) if v.size else None
-        self.s_hist = [self._shard(jnp.asarray(v)) for v in p.get("s_hist", [])]
-        self.y_hist = [self._shard(jnp.asarray(v)) for v in p.get("y_hist", [])]
+            if not v.size:
+                return None
+            self._size = v.shape[0]
+            return self._shard(v)
+        self.s_hist = [track(v) for v in p.get("s_hist", [])]
+        self.y_hist = [track(v) for v in p.get("y_hist", [])]
         self.H_diag = float(p.get("H_diag", 1.0))
         self.t = float(p.get("t", 1.0))
         self.n_iter = int(p.get("n_iter", 0))
         self.curv_skips = int(p.get("curv_skips", 0))
         self.fail_skips = int(p.get("fail_skips", 0))
         self.fail = bool(p.get("fail", False))
-        self.prev_flat_grad = opt(p.get("prev_flat_grad"))
-        self.Bs = opt(p.get("Bs"))
-        self.d = opt(p.get("d"))
+        self.prev_flat_grad = track(p.get("prev_flat_grad"))
+        self.Bs = track(p.get("Bs"))
+        self.d = track(p.get("d"))
 
     # -- helpers -----------------------------------------------------------
     @staticmethod
@@ -166,15 +186,26 @@ class LBFGSDriver:
         if self._vec_sharding is None or vec is None:
             return vec
         pad = (-vec.shape[0]) % self._n_shards
+        if isinstance(vec, jax.Array):
+            if pad:
+                vec = jnp.concatenate([vec, jnp.zeros((pad,), vec.dtype)])
+            if jax.process_count() > 1:
+                return self._scatter(vec)
+            return jax.device_put(vec, self._vec_sharding)
+        vec = np.asarray(vec)
         if pad:
-            vec = jnp.concatenate([vec, jnp.zeros((pad,), vec.dtype)])
+            vec = np.concatenate([vec, np.zeros((pad,), vec.dtype)])
+        # Host value: every process holds it in full, so a plain device_put
+        # to the global sharding is valid even under multi-process.
         return jax.device_put(vec, self._vec_sharding)
 
     def _unshard(self, vec):
         """Gather a (padded) sharded vector back to a replicated unpadded
-        one — only needed to rebuild the parameter pytree."""
+        one — needed to rebuild the parameter pytree and to checkpoint."""
         if self._vec_sharding is None:
             return vec
+        if jax.process_count() > 1:
+            return self._gather(vec)[:self._size]
         return jax.device_put(vec, self._rep_sharding)[:self._size]
 
     def _ensure_wd(self, params):

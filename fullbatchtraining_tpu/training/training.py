@@ -190,17 +190,22 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         # impl.bn_momentum blindly; disable grouping only when an update is
         # not affine in the incoming stats (then no fold can compose it).
         from ..models.models import detect_norm_momenta, measure_norm_stat_decay
-        detected = detect_norm_momenta(model, bundle.pixels, bundle.channels)
-        if detected:
-            bn_decay, affine_ok = measure_norm_stat_decay(
-                model, sub, bundle.pixels, bundle.channels)
-            if not affine_ok:
-                log.warning(
-                    "A norm layer's running-stat update is not affine in the "
-                    "incoming stats; the grouped BN fold cannot compose it "
-                    "— disabling block grouping (impl.block_grouping=1).")
-                group = 1
-            elif len(detected) == 1:
+        # Gate the probe on STAT PRESENCE (measure_norm_stat_decay checks for
+        # batch_stats abstractly and returns (None, True) for stat-free
+        # models), never on whether layers expose a `momentum` attribute — a
+        # stats-bearing layer without one must still be probed, else the fold
+        # below silently composes with the default bn_momentum.
+        bn_decay, affine_ok = measure_norm_stat_decay(
+            model, sub, bundle.pixels, bundle.channels)
+        if not affine_ok:
+            log.warning(
+                "A norm layer's running-stat update is not affine in the "
+                "incoming stats; the grouped BN fold cannot compose it "
+                "— disabling block grouping (impl.block_grouping=1).")
+            group = 1
+        elif bn_decay is not None:
+            detected = detect_norm_momenta(model, bundle.pixels, bundle.channels)
+            if len(detected) == 1:
                 found = next(iter(detected))
                 if abs(found - bn_momentum) > 1e-9:
                     log.warning(
@@ -1363,11 +1368,14 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
                 stats["valid_acc"] += [float(vm["valid_acc"])]
                 break
 
-        if cfg.impl.checkpoint.name is not None and jax.process_index() == 0:
+        if cfg.impl.checkpoint.name is not None:
             if ((step - 1) % cfg.impl.checkpoint.save_every_nth_step == 0
                     or step >= cfg.hyp.steps):
-                save_checkpoint(state, cfg)
+                if jax.process_index() == 0:
+                    save_checkpoint(state, cfg)
                 from .utils import save_driver_state
+                # all ranks: the driver gather is collective under
+                # impl.shard_opt_vectors (writes happen on rank 0 only)
                 save_driver_state(driver, cfg)
 
         if cfg.dryrun:

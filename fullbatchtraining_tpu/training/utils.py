@@ -77,7 +77,11 @@ def save_driver_state(driver, cfg) -> None:
     5-tuple (training/utils.py:43-51)."""
     if driver is None or not hasattr(driver, "get_state"):
         return
+    # get_state may gather cross-host-sharded vectors (impl.shard_opt_vectors)
+    # — a collective, so EVERY process must reach it; only rank 0 writes.
     payload = jax.tree.map(np.asarray, jax.device_get(driver.get_state()))
+    if jax.process_index() != 0:
+        return
     file = _driver_file(cfg)
     tmp = file.with_suffix(".tmp")
     tmp.write_bytes(serialization.msgpack_serialize(payload))

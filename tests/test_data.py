@@ -229,6 +229,44 @@ def test_bake_store_key_encodes_config(config_dir, tmp_path):
                           np.asarray(b3.baked.round(0).images))
 
 
+def test_bake_store_key_encodes_policy_geometry(config_dir, tmp_path):
+    """Policy fill color / translate_const derive from data.mean / data.pixels
+    (reference _get_autoaugment(img_size_min=cfg.pixels, mean=cfg.mean),
+    data_preparation.py:161): changing them must re-bake; non-policy bakes
+    ignore them (regression: the store hash omitted both, silently reusing a
+    store baked at different geometry)."""
+    def bundle(extra):
+        cfg = load_config(config_dir, overrides=[
+            "data.size=16", f"data.path={tmp_path}/none", "data.db=baked",
+            f"data.db.path={tmp_path}/db", "data.db.rounds=2", "hyp=fb1"] + extra)
+        return construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+
+    pol = ["data.db.augmentations_train={RandAugment: rand-m7-n1}"]
+    a = bundle(pol)
+    b = bundle(pol + ["data.mean=[0.1,0.2,0.3]"])
+    assert a.baked.dir != b.baked.dir
+    c = bundle(["data.db.augmentations_train={RandomHorizontalFlip: 0.5}"])
+    d = bundle(["data.db.augmentations_train={RandomHorizontalFlip: 0.5}",
+                "data.mean=[0.1,0.2,0.3]"])
+    assert c.baked.dir == d.baked.dir
+
+
+def test_bake_policy_seeds_never_collide():
+    """The host policy seed mixes (seed, round, batch-start, segment)
+    structurally (regression: additive seed+stream+si collided across rounds
+    whenever data.size % _BAKE_BATCH != 0)."""
+    from fullbatchtraining_tpu.data.baked import _policy_seed
+
+    grid = [(r, start, si) for r in range(8)
+            for start in range(0, 4096, 512) for si in range(3)]
+    seeds = {_policy_seed(7, r, start, si) for r, start, si in grid}
+    assert len(seeds) == len(grid)
+    assert _policy_seed(7, 1, 512, 0) == _policy_seed(7, 1, 512, 0)
+    # the exact collision class the additive scheme had (n=1025, batch 1024):
+    # round r's tail batch/segment 1 vs round r+1's first batch/segment 0
+    assert _policy_seed(0, 0, 1024, 1) != _policy_seed(0, 1, 0, 0)
+
+
 def test_bake_size_changing_crop(config_dir, tmp_path):
     """A bake whose RandomCrop shrinks the images stores the OUTPUT shape
     (regression: the buffer was allocated with the raw shape and baking

@@ -337,6 +337,55 @@ def test_block_grouping_matches_sequential(config_dir):
     np.testing.assert_allclose(m1["grad_norm"], m4["grad_norm"], rtol=1e-4)
 
 
+def test_grad_noise_modifiers(config_dir):
+    """hyp.grad_noise additive/multiplicative on the FULL averaged gradient
+    (reference training.py:212-215): zero-mean draws at the configured scale,
+    fresh per step, applied AFTER clipping; multiplicative noise keeps zero
+    gradients zero (g * (1 + sigma*xi))."""
+    def grads_with(extra, step=0):
+        cfg, mesh, bundle, model = _setup(config_dir, [
+            "data.augmentations_train="] + extra)
+        fns = make_train_functions(model, bundle, mesh, cfg)
+        variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                     bundle.channels)
+        state = fns.init_state(variables)
+        state = state.replace(step=jnp.asarray(step, jnp.int32))
+        images, labels = stage_epoch(bundle, fns, mesh, cfg, 0, {})
+        g, _, _ = fns.gradient_eval(state, images, labels)
+        return jax.device_get(g)
+
+    clean = grads_with([])
+    add0 = grads_with(["hyp.grad_noise.additive=0.05"])
+    add1 = grads_with(["hyp.grad_noise.additive=0.05"], step=1)
+
+    def flat_diff(a, b):
+        return np.concatenate([(np.asarray(x) - np.asarray(y)).ravel()
+                               for x, y in zip(jax.tree.leaves(a),
+                                               jax.tree.leaves(b))])
+    noise0 = flat_diff(add0, clean)
+    noise1 = flat_diff(add1, clean)
+    assert 0.03 < noise0.std() < 0.07       # configured scale
+    assert abs(noise0.mean()) < 0.01        # zero-mean
+    assert not np.allclose(noise0, noise1)  # fresh draw per step
+
+    mult = grads_with(["hyp.grad_noise.multiplicative=0.1"])
+    ratios = []
+    for m, c in zip(jax.tree.leaves(mult), jax.tree.leaves(clean)):
+        m, c = np.asarray(m), np.asarray(c)
+        assert np.all(m[c == 0] == 0)       # zero grads stay zero
+        nz = c != 0
+        ratios.append((m[nz] / c[nz] - 1.0).ravel())
+    r = np.concatenate(ratios)
+    assert 0.06 < r.std() < 0.14
+
+    # noise rides on top of the clipped gradient, not under it (ref order)
+    clipnoise = grads_with(["hyp.grad_clip=0.001",
+                            "hyp.grad_noise.additive=0.05"])
+    norm = np.sqrt(sum((np.asarray(g) ** 2).sum()
+                       for g in jax.tree.leaves(clipnoise)))
+    assert norm > 0.01
+
+
 def test_block_grouping_detects_custom_bn_momentum(config_dir):
     """A model built with a non-default norm momentum must still produce
     correct grouped running stats: the per-leaf stat decay is MEASURED at
@@ -431,6 +480,70 @@ def test_block_grouping_disables_on_non_affine_stats(config_dir):
         "impl.block_grouping=3"])
     fns = make_train_functions(Net(), bundle, mesh, cfg)
     assert fns.group == 1
+
+
+def test_block_grouping_probes_momentum_less_stat_layers(config_dir):
+    """A stats-bearing layer WITHOUT a `momentum` attribute must still be
+    probed: non-affine updates disable grouping, affine ones fold with the
+    measured decay (regression: the probe used to be gated on momentum-attr
+    DETECTION, so momentum-less stat layers silently composed with the
+    default impl.bn_momentum)."""
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    class MaxNormNoAttr(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            ra = self.variable("batch_stats", "peak",
+                               lambda: jnp.zeros(x.shape[-1]))
+            if train and not self.is_initializing():
+                ra.value = jnp.maximum(ra.value,
+                                       jnp.max(jnp.abs(x), axis=(0, 1, 2)))
+            return x / (1.0 + ra.value)
+
+    class EmaNoAttr(nn.Module):
+        # affine stat update with a hard-coded decay nothing advertises
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            ra = self.variable("batch_stats", "mean",
+                               lambda: jnp.zeros(x.shape[-1]))
+            if train and not self.is_initializing():
+                ra.value = 0.25 * ra.value + 0.75 * x.mean(axis=(0, 1, 2))
+            return x - ra.value
+
+    def make_net(layer_cls):
+        class Net(nn.Module):
+            @nn.compact
+            def __call__(self, x, train: bool = True):
+                x = nn.Conv(4, (3, 3), use_bias=False)(x)
+                x = layer_cls()(x, train=train)
+                return nn.Dense(10)(x.mean(axis=(1, 2)))
+        return Net()
+
+    cfg, mesh, bundle, _ = _setup(config_dir, [
+        "data.augmentations_train=", "data.batch_size=2", "hyp.sub_batch=2",
+        "impl.block_grouping=3"])
+    fns = make_train_functions(make_net(MaxNormNoAttr), bundle, mesh, cfg)
+    assert fns.group == 1  # probed and refuted despite no momentum attribute
+
+    results = {}
+    for grouping in (1, 3):
+        cfg, mesh, bundle, _ = _setup(config_dir, [
+            "data.augmentations_train=", "data.batch_size=2", "hyp.sub_batch=2",
+            f"impl.block_grouping={grouping}"])
+        model = make_net(EmaNoAttr)
+        fns = make_train_functions(model, bundle, mesh, cfg)
+        assert fns.group == grouping  # affine: grouping stays on
+        variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                     bundle.channels)
+        state = fns.init_state(variables)
+        images, labels = stage_epoch(bundle, fns, mesh, cfg, 0, {})
+        _, bn, _ = fns.gradient_eval(state, images, labels,
+                                     with_modifiers=False)
+        results[grouping] = jax.device_get(bn)
+    for a, b in zip(jax.tree.leaves(results[1]), jax.tree.leaves(results[3])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_block_grouping_auto_resolution():
@@ -730,10 +843,10 @@ def test_lbfgs_sharded_vectors_match_replicated(config_dir):
         images, labels = stage_epoch(bundle, fns, mesh, cfg, 0, {})
         for _ in range(3):
             state, _ = driver.step(state, images, labels)
-        return state, driver
+        return state, driver, fns, cfg
 
-    state_r, _ = run(False)
-    state_s, driver = run(True)
+    state_r, _, _, _ = run(False)
+    state_s, driver, fns, cfg = run(True)
     n_dev = jax.device_count()
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree.leaves(state_s.params))
@@ -755,3 +868,11 @@ def test_lbfgs_sharded_vectors_match_replicated(config_dir):
     driver.set_state(payload)
     assert driver.s_hist[0].shape[0] % n_dev == 0
     assert isinstance(driver.s_hist[0].sharding, NamedSharding)
+    # set_state -> checkpoint again BEFORE any step (preemption mid-stage):
+    # the re-saved payload must stay unpadded, else a later restore on a
+    # different mesh re-pads to a length the fresh gradients don't have
+    fresh = make_closure_step(fns, cfg, "lbfgs")
+    fresh.set_state(payload)
+    repay = fresh.get_state()
+    assert repay["s_hist"][0].shape[0] == n_params
+    assert repay["prev_flat_grad"].shape[0] == n_params
