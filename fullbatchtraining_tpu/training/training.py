@@ -1384,4 +1384,6 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
     if tracing:  # loop ended before trace_steps (dryrun/early stop): flush
         jax.profiler.stop_trace()
 
+    from .utils import wait_for_async_checkpoints
+    wait_for_async_checkpoints()  # the final checkpoint is durable on return
     return state, stats

@@ -30,12 +30,68 @@ def _checkpoint_file(cfg) -> Path:
     return folder / str(cfg.impl.checkpoint.name)
 
 
-def save_checkpoint(state, cfg, file: Path | None = None) -> Path:
-    file = file or _checkpoint_file(cfg)
-    payload = serialization.to_bytes(jax.device_get(state))
+def _atomic_write(file: Path, payload: bytes) -> None:
     tmp = file.with_suffix(".tmp")
     tmp.write_bytes(payload)
     tmp.replace(file)  # atomic: readers never see partial checkpoints
+
+
+_ASYNC_POOL = None
+_PENDING: list = []
+
+
+def _async_executor():
+    global _ASYNC_POOL
+    if _ASYNC_POOL is None:
+        import atexit
+        from concurrent.futures import ThreadPoolExecutor
+        _ASYNC_POOL = ThreadPoolExecutor(max_workers=1,
+                                         thread_name_prefix="ckpt-write")
+        atexit.register(wait_for_async_checkpoints)  # callers outside train()
+    return _ASYNC_POOL
+
+
+def wait_for_async_checkpoints() -> None:
+    """Block until every queued async checkpoint write has hit disk
+    (re-raises a failed write). Called at train() exit and before any
+    same-process checkpoint read."""
+    while _PENDING:
+        _PENDING.pop(0).result()
+
+
+def save_checkpoint(state, cfg, file: Path | None = None) -> Path:
+    """Checkpoint the train state; ``impl.checkpoint.async_save=True`` moves
+    the host pull + msgpack serialization + disk write off the training path
+    (beyond the reference, which blocks on torch.save every interval,
+    training.py:330-335 — at 60M-param scale that is seconds per save).
+
+    Donation safety: full_step donates the state buffers, so the background
+    thread must never read them after the next step dispatches. Single
+    process: the snapshot is a cheap on-device copy (stream-ordered BEFORE
+    any later donating step, so it reads the pre-donation values; the host
+    pull then targets the copies). Multi-process: rank 0 cannot run eager
+    device ops alone on replicated global arrays (SPMD), so it snapshots via
+    the local-read host pull instead — still moving serialize+write off the
+    path. One write is in flight at a time (bounded memory, ordered files).
+    """
+    file = file or _checkpoint_file(cfg)
+    if not bool(cfg.impl.checkpoint.get("async_save", False)):
+        payload = serialization.to_bytes(jax.device_get(state))
+        _atomic_write(file, payload)
+        return file
+    if jax.process_count() == 1:
+        import jax.numpy as jnp
+        snapshot = jax.tree.map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
+    else:
+        snapshot = jax.device_get(state)
+    wait_for_async_checkpoints()
+
+    def _write():
+        payload = serialization.to_bytes(jax.device_get(snapshot))
+        _atomic_write(file, payload)
+
+    _PENDING.append(_async_executor().submit(_write))
     return file
 
 
@@ -46,6 +102,7 @@ def load_checkpoint(state, cfg, max_steps: int, file: Path | None = None,
 
     Under process_count>1 (pass ``mesh``) the restored host arrays are
     re-placed as replicated global arrays so the SPMD step accepts them."""
+    wait_for_async_checkpoints()  # never read a file a queued write may replace
     file = file or _checkpoint_file(cfg)
     if not file.exists():
         if require:

@@ -200,6 +200,47 @@ def test_checkpoint_resume_is_equivalent(config_dir, tmp_path, monkeypatch):
                                    rtol=1e-5, atol=1e-7)
 
 
+def test_async_checkpoint_save(config_dir, tmp_path, monkeypatch):
+    """impl.checkpoint.async_save writes identical bytes to the sync path and
+    the snapshot is donation-safe: overwriting the live state through a
+    donating jit right after the save must not leak into the file. train()
+    guarantees the final checkpoint is durable on return."""
+    from fullbatchtraining_tpu.training.training import make_train_functions
+    from fullbatchtraining_tpu.training.utils import (load_checkpoint,
+                                                      save_checkpoint,
+                                                      wait_for_async_checkpoints)
+
+    cfg, mesh, bundle, model = _setup(config_dir, ["data.augmentations_train="])
+    fns = make_train_functions(model, bundle, mesh, cfg)
+    variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                 bundle.channels)
+    state = fns.init_state(variables)
+
+    cfg.impl.checkpoint.async_save = False
+    sync_file = save_checkpoint(state, cfg, file=tmp_path / "sync.msgpack")
+    cfg.impl.checkpoint.async_save = True
+    async_file = save_checkpoint(state, cfg, file=tmp_path / "async.msgpack")
+    # donate/overwrite the live buffers immediately after the async save
+    bump = jax.jit(lambda s: jax.tree.map(lambda x: x + 1, s), donate_argnums=0)
+    mutated = bump(state)
+    jax.block_until_ready(jax.tree.leaves(mutated.params)[0])
+    wait_for_async_checkpoints()
+    assert async_file.read_bytes() == sync_file.read_bytes()
+
+    # end-to-end through train(): the final async save is durable on return
+    monkeypatch.chdir(tmp_path)
+    cfg, mesh, bundle, model = _setup(config_dir, [
+        "hyp.steps=2", "data.augmentations_train=",
+        "impl.checkpoint.name=async.ckpt", "impl.checkpoint.async_save=True"])
+    cfg.original_cwd = str(tmp_path)
+    final, _ = train(model, bundle, mesh, cfg)
+    restored, step = load_checkpoint(final, cfg, max_steps=10)
+    assert step == 2
+    for a, b in zip(jax.tree.leaves(final.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_training_is_deterministic(config_dir):
     """Identical seeds produce identical loss traces (PRNG-keyed augmentation)."""
     traces = []
