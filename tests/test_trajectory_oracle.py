@@ -3,8 +3,9 @@
 Drives the reference training loop (/root/reference/fullbatch/training/
 training.py:train, imported read-only with stub sibling packages and
 torch-1.9 shims) for several steps on a tiny no-BN convnet with identical
-fp64 weights and identical data, across 17 recipes spanning the full-batch
-and stochastic modes, the gradient regularizer, the whole optimizer zoo
+fp64 weights and identical data, across 18 recipes spanning the full-batch,
+stochastic, and semi-stochastic modes, the gradient regularizer, the whole
+optimizer zoo
 (AdamW, Wolfe/restarting/non-monotone line searches, SAM, L-BFGS, FISTA,
 GD-AGC), and the evaluation/modifier/loss variants, and asserts this
 repo's train() reproduces the full parameter trajectory and the stats
@@ -230,6 +231,36 @@ def _fix_ref_restarting():
         cls._defaults_patched = True
 
 
+def _load_reference_subset_loader():
+    """Load the REAL construct_subset_dataloader (data_preparation.py:89-112)
+    for the semi-stochastic recipe.
+
+    torchvision is absent in this environment; inert stub modules satisfy
+    data_preparation's import-time references (transforms, the TinyImageNet
+    downloader), none of which the subset path touches — the function under
+    test runs unmodified reference code."""
+    key = "reftrain.data.data_preparation"
+    if key in sys.modules:
+        return sys.modules[key].construct_subset_dataloader
+    tv = types.ModuleType("torchvision")
+    tv.transforms = types.ModuleType("torchvision.transforms")
+    tv.datasets = types.ModuleType("torchvision.datasets")
+    tvu = types.ModuleType("torchvision.datasets.utils")
+    tvu.download_and_extract_archive = None
+    tv.datasets.utils = tvu
+    for name, mod in (("torchvision", tv),
+                      ("torchvision.transforms", tv.transforms),
+                      ("torchvision.datasets", tv.datasets),
+                      ("torchvision.datasets.utils", tvu)):
+        sys.modules.setdefault(name, mod)
+    data_pkg = sys.modules["reftrain.data"]
+    data_pkg.__path__ = [str(REF / "data")]
+    _load("reftrain.data.datasets", REF / "data/datasets.py")
+    _load("reftrain.data.auto_augment", REF / "data/auto_augment.py")
+    _load("reftrain.data.cached_dataset", REF / "data/cached_dataset.py")
+    return _load(key, REF / "data/data_preparation.py").construct_subset_dataloader
+
+
 # recipe -> (overrides beyond the shared base, compare mode). Mode "full"
 # compares every stats series; mode "params" compares the final parameters
 # and the validation series only — closure optimizers evaluate the closure
@@ -246,6 +277,17 @@ RECIPES = {
     # the stochastic sanity-check mode (reference training.py:241-286):
     # one optimizer.step per block, grad clip per block, schedule per epoch
     "sgd": (["hyp=base_sgd", "hyp.shuffle=False", "hyp.grad_clip=0.05"], "full"),
+    # semi-stochastic: one bake round per step via the reference's OWN
+    # construct_subset_dataloader (step % rounds subset of the flat N x
+    # store). Mode "params": the reference divides its semi-mode stats by
+    # the FLAT loader's num_blocks (training.py:65, :110 — only a third of
+    # the blocks ran), a reporting quirk this repo does not replicate.
+    "semi": (["hyp=base_sgd", "hyp.shuffle=False", "hyp.grad_clip=0.05",
+              "hyp.train_semi_stochastic=True", "data.db=baked",
+              "data.db.rounds=3", "data.db.first_round_clean=False",
+              "data.db.shuffle_while_writing=False",
+              "data.db.augmentations_train={RandomHorizontalFlip: 0.5}"],
+             "params"),
     # the optimizer zoo against the reference's own implementations
     "adam": (["hyp=fb1", "hyp/optim=adam", "hyp.scheduler=cosine-decay"], "full"),
     "wolfe": (["hyp=fb1", "hyp.scheduler=cosine-decay",
@@ -359,7 +401,7 @@ def test_reference_lars_is_a_noop_ours_is_not(config_dir,
 
 
 @pytest.mark.parametrize("recipe", list(RECIPES))
-def test_train_trajectory_matches_reference(recipe, config_dir,
+def test_train_trajectory_matches_reference(recipe, config_dir, tmp_path,
                                             _torch19_foreach_shim):
     import jax
 
@@ -371,6 +413,9 @@ def test_train_trajectory_matches_reference(recipe, config_dir,
 
     steps = 8
     recipe_overrides, mode = RECIPES[recipe]
+    semi = recipe == "semi"
+    if semi:
+        recipe_overrides = recipe_overrides + [f"data.db.path={tmp_path}/db"]
     overrides = recipe_overrides + [
         "model=linear",  # unused (we pass our own module) but must compose
         "data.size=64", "data.path=/tmp/__traj_nodata__", "data.batch_size=16",
@@ -402,8 +447,17 @@ def test_train_trajectory_matches_reference(recipe, config_dir,
     if recipe in ("restarting", "non-monotone"):
         _fix_ref_restarting()
     tmodel = _torch_model(params0, bundle.classes)
-    trainloader = _torch_loader(bundle.train.images, bundle.train.labels,
-                                cfg.data.batch_size, drop_last=True)
+    if semi:
+        # the reference trains on the FLAT N x store; its own
+        # construct_subset_dataloader slices round (step % rounds) out of it
+        reftrain.construct_subset_dataloader = _load_reference_subset_loader()
+        flat = bundle.baked.flat()
+        trainloader = _torch_loader(np.asarray(flat.images),
+                                    np.asarray(flat.labels),
+                                    cfg.data.batch_size, drop_last=True)
+    else:
+        trainloader = _torch_loader(bundle.train.images, bundle.train.labels,
+                                    cfg.data.batch_size, drop_last=True)
     validloader = _torch_loader(bundle.valid.images, bundle.valid.labels,
                                 cfg.data.batch_size, drop_last=False)
     setup = {"device": torch.device("cpu"), "dtype": torch.float64}
