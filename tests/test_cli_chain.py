@@ -1,0 +1,58 @@
+"""End-to-end CLI chain: the reference's four entry points as subprocesses.
+
+The reference ships no test suite; its de-facto integration test is running
+the real scripts (SURVEY.md §4). This drives the full workflow chain —
+train -> verify checkpoint -> FP audit -> loss-surface crunch — through the
+actual CLI entry points (argv parsing, job_startup chdir, logging, config
+composition) on the 8-device CPU mesh with tiny shapes. The same chain on
+real TPU hardware is recorded in VALIDATION.md "Full workflow chain".
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+
+pytestmark = pytest.mark.slow
+
+BASE = ["model=linear", "data.size=64", "data.path=/tmp/__none__",
+        "data.batch_size=32", "hyp.sub_batch=16", "seed=0",
+        "data.augmentations_train="]
+
+
+def _run(script, overrides, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    p = subprocess.run([sys.executable, str(ROOT / script)] + overrides,
+                       cwd=cwd, env=env, capture_output=True, text=True,
+                       timeout=420)
+    assert p.returncode == 0, f"{script} failed:\n{p.stdout}\n{p.stderr}"
+    return p.stdout + p.stderr
+
+
+def test_cli_workflow_chain(tmp_path):
+    out = _run("train_with_gradient_descent.py", BASE + [
+        "name=chain", "hyp=fb1", "hyp.steps=2", "hyp.warmup=0",
+        "impl.checkpoint.name=chain.ckpt"], tmp_path)
+    assert "Job finished" in out
+    assert (tmp_path / "checkpoints" / "chain.ckpt").exists()
+
+    out = _run("verify_model_checkpoint.py", BASE + [
+        "name=chain_verify", "impl.checkpoint.name=chain.ckpt"], tmp_path)
+    assert "Checkpoint step 2" in out and "valid_acc" in out
+
+    out = _run("measure_floating_point_accuracy.py", BASE + [
+        "name=chain_fp", "hyp=fb1"], tmp_path)
+    # XLA CPU is deterministic too: the audit must report bitwise-zero noise
+    assert "abs_linf: 0.000e+00" in out
+    assert "bitwise reproducible" in out
+
+    out = _run("crunch_loss_landscape.py", BASE + [
+        "name=chain_crunch", "hyp=fb1", "impl.checkpoint.name=chain.ckpt",
+        "viz=1d", "viz.coordinates.x.num=3", "viz.vmap_positions=3"], tmp_path)
+    assert "Surface complete: 3 positions" in out
