@@ -116,7 +116,9 @@ def test_ema_tracks_params(config_dir):
 def test_switch_stochastic(config_dir):
     cfg, mesh, bundle, model = _setup(config_dir, [
         "hyp.steps=3", "hyp.train_switch_stochastic=1"])
-    # fb1: train_stochastic=False, switch active while step <= 1 -> stochastic
+    # fb1: train_stochastic=False -> full-batch step 0, stochastic from the
+    # switch step on ("switch after this many steps", yaml intent; the
+    # reference's latching-inversion bug is documented in training.py)
     state, stats = train(model, bundle, mesh, cfg)
     assert len(stats["train_loss"]) == 3
 
@@ -227,10 +229,13 @@ def test_async_checkpoint_save(config_dir, tmp_path, monkeypatch):
     wait_for_async_checkpoints()
     assert async_file.read_bytes() == sync_file.read_bytes()
 
-    # end-to-end through train(): the final async save is durable on return
+    # end-to-end through train(): the final async save is durable on return.
+    # Streamed mode on purpose: the checkpoint writer thread must coexist
+    # with the streamed path's prefetch threading.
     monkeypatch.chdir(tmp_path)
     cfg, mesh, bundle, model = _setup(config_dir, [
         "hyp.steps=2", "data.augmentations_train=",
+        "impl.hbm_epoch_max_bytes=1", "impl.stream_segment_blocks=2",
         "impl.checkpoint.name=async.ckpt", "impl.checkpoint.async_save=True"])
     cfg.original_cwd = str(tmp_path)
     final, _ = train(model, bundle, mesh, cfg)
