@@ -47,8 +47,22 @@ def _async_executor():
         from concurrent.futures import ThreadPoolExecutor
         _ASYNC_POOL = ThreadPoolExecutor(max_workers=1,
                                          thread_name_prefix="ckpt-write")
-        atexit.register(wait_for_async_checkpoints)  # callers outside train()
+        atexit.register(_drain_at_exit)  # callers outside train()
     return _ASYNC_POOL
+
+
+def _drain_at_exit():
+    """Best-effort flush for callers that exit without train()/an explicit
+    wait. A failure here cannot change the process exit code (CPython
+    ignores atexit exceptions), so log it loudly before re-raising;
+    durability-critical callers must call wait_for_async_checkpoints()
+    themselves (train() does)."""
+    try:
+        wait_for_async_checkpoints()
+    except Exception:
+        log.critical("Async checkpoint write FAILED at interpreter exit; "
+                     "the newest checkpoint on disk is stale.", exc_info=True)
+        raise
 
 
 def wait_for_async_checkpoints() -> None:
@@ -75,6 +89,11 @@ def save_checkpoint(state, cfg, file: Path | None = None) -> Path:
     path. One write is in flight at a time (bounded memory, ordered files).
     """
     file = file or _checkpoint_file(cfg)
+    # Drain any queued write FIRST, on both paths: a pending older write must
+    # not land after (and clobber) this newer one, the two writers must never
+    # share the .tmp path, and taking the snapshot only after the drain keeps
+    # at most one extra copy of the state alive at a time.
+    wait_for_async_checkpoints()
     if not bool(cfg.impl.checkpoint.get("async_save", False)):
         payload = serialization.to_bytes(jax.device_get(state))
         _atomic_write(file, payload)
@@ -85,7 +104,6 @@ def save_checkpoint(state, cfg, file: Path | None = None) -> Path:
             lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
     else:
         snapshot = jax.device_get(state)
-    wait_for_async_checkpoints()
 
     def _write():
         payload = serialization.to_bytes(jax.device_get(snapshot))
@@ -139,13 +157,21 @@ def save_driver_state(driver, cfg) -> None:
     payload = jax.tree.map(np.asarray, jax.device_get(driver.get_state()))
     if jax.process_index() != 0:
         return
+    # The sidecar must never land on disk BEFORE the main checkpoint it
+    # belongs to (a crash in between would pair step-k curvature memory with
+    # step-(k-1) params on resume). Async: enqueue behind the main write on
+    # the same single worker, preserving the sync flow's on-disk order.
     file = _driver_file(cfg)
-    tmp = file.with_suffix(".tmp")
-    tmp.write_bytes(serialization.msgpack_serialize(payload))
-    tmp.replace(file)
+    if bool(cfg.impl.checkpoint.get("async_save", False)):
+        _PENDING.append(_async_executor().submit(
+            lambda: _atomic_write(file, serialization.msgpack_serialize(payload))))
+    else:
+        wait_for_async_checkpoints()
+        _atomic_write(file, serialization.msgpack_serialize(payload))
 
 
 def load_driver_state(driver, cfg) -> None:
+    wait_for_async_checkpoints()  # the sidecar may still be queued
     file = _driver_file(cfg)
     if driver is None or not hasattr(driver, "set_state") or not file.exists():
         return

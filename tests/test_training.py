@@ -739,7 +739,10 @@ def test_closure_driver_resume_is_equivalent(config_dir, tmp_path, monkeypatch):
     def run(steps, ckpt=None):
         overrides = [f"hyp.steps={steps}", "data.augmentations_train=",
                      "hyp/optim=lbfgs", "hyp.optim.lr=0.2",
-                     "hyp.scheduler=none"]
+                     "hyp.scheduler=none",
+                     # async on purpose: the sidecar write must queue BEHIND
+                     # the main checkpoint write and drain before resume
+                     "impl.checkpoint.async_save=True"]
         if ckpt:
             overrides += [f"impl.checkpoint.name={ckpt}",
                           "impl.checkpoint.save_every_nth_step=1"]
