@@ -168,6 +168,9 @@ def test_two_process_temp_bake_and_sharded_lbfgs(config_dir, tmp_path):
     extra = ["--train", "hyp.warmup=0", "hyp/optim=lbfgs", "hyp.optim.lr=0.5",
              "impl.shard_opt_vectors=True", "data.db=baked",
              "data.db.rounds=2", "data.db.temporary_database=True",
+             # async saves under process_count>1: rank 0 snapshots via the
+             # local-read host pull, the sidecar queues behind the main write
+             "impl.checkpoint.async_save=True",
              f"data.db.path={tmp_path}/db"]
     procs = [subprocess.Popen(
         [sys.executable, str(WORKER), str(pid), "2", str(port), str(tmp_path)]
