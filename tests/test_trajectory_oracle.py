@@ -332,6 +332,13 @@ RECIPES = {
                           "hyp.label_smoothing=0.1",
                           "hyp.loss_modification=incorrect-xent"], "full"),
 }
+# Deliberately NOT oracle recipes: hyp.grad_noise (torch.randn_like vs JAX
+# threefry draw different random streams, so trajectories cannot coincide —
+# scale/mean/freshness/ordering are unit-tested in
+# test_training.py::test_grad_noise_modifiers) and batch-maxup (needs the
+# reference's maxup DATA duplication pipeline; the MaxupLoss itself is
+# oracle-tested against the reference module in
+# test_gradreg_oracle.py::test_losses_match_reference_oracle).
 
 
 def test_reference_lars_is_a_noop_ours_is_not(config_dir,
