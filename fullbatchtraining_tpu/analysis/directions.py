@@ -13,10 +13,13 @@ reduce over all leading axes.
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+
+log = logging.getLogger(__name__)
 
 Pytree = Any
 
@@ -105,4 +108,10 @@ def perturb2threshold(params: Pytree, loss_fn: Callable[[Pytree], jax.Array],
             break
         current = set_parameter_offset(current, direction, step_size)
         counter += 1
+    else:
+        # no silent caps: a value returned here measures the walk budget,
+        # not a threshold crossing (the reference loops unboundedly)
+        log.warning("perturb2threshold hit max_steps=%d without the loss "
+                    "exceeding %g; the recorded flatness is a lower bound.",
+                    max_steps, threshold)
     return direction_norm * counter, counter

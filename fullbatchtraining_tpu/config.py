@@ -212,10 +212,25 @@ def _apply_key_override(cfg: ConfigNode, mode: str, key: str, value: Any) -> Non
     parts = key.split(".")
     node = cfg
     for part in parts[:-1]:
-        if part not in node or not isinstance(node[part], dict):
-            if mode == "del":
-                return
+        if mode == "del" and (part not in node or not isinstance(node[part], dict)):
+            return
+        if part not in node or node[part] is None:
+            # 'set' cannot traverse a missing/null group — raising here (as
+            # Hydra does) instead of at the leaf avoids mutating cfg with
+            # empty intermediate nodes on a failed override
+            if mode == "set":
+                raise KeyError(
+                    f"Could not override '{key}': '{part}' does not exist "
+                    f"(use +{key}=... to add)."
+                )
             node[part] = ConfigNode()
+        elif not isinstance(node[part], dict):
+            # never silently destroy an existing scalar (e.g. +data.path.x=1
+            # must not wipe the string data.path); Hydra rejects this too
+            raise KeyError(
+                f"Could not override '{key}': '{part}' holds a "
+                f"{type(node[part]).__name__} value, not a config group."
+            )
         node = node[part]
     leaf = parts[-1]
     if mode == "del":
@@ -249,7 +264,11 @@ def _resolve_interpolations(node: Any, root: ConfigNode) -> Any:
         full = _INTERP.fullmatch(node)
         if full:
             return _resolve_interpolations(_lookup(root, full.group(1)), root)
-        return _INTERP.sub(lambda m: str(_lookup(root, m.group(1))), node)
+        # substring interpolation must resolve chained references too
+        # (a='${b}/x', b='${c}'), exactly like the full-match branch
+        return _INTERP.sub(
+            lambda m: str(_resolve_interpolations(_lookup(root, m.group(1)), root)),
+            node)
     return node
 
 

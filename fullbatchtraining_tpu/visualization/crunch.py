@@ -41,7 +41,6 @@ def make_surface_program(model, bundle, mesh, cfg, num_blocks, chunks, sub,
                          compute_grads: bool):
     criterion = get_loss_fn(cfg.hyp, cfg.data.batch_size)
     mean, std = jnp.asarray(bundle.mean), jnp.asarray(bundle.std)
-    n_dev = mesh.devices.size
 
     def block_metrics(params, batch_stats, images, labels):
         def loss_fn(p):
@@ -99,16 +98,9 @@ def crunch(model, bundle, mesh, cfg, fns, state, stats=None):
         raise ValueError("Loss landscape does not contain acc_strength!")
 
     store = SurfaceStore(surface_path(cfg.impl, viz, cfg.get("original_cwd", ".")))
-    if viz.rebuild_existing_database:
-        store.remove()
-    if store.exists():
-        loaded = store.verify_model(params)
-        if loaded is None:
-            raise ValueError(f"The stored surface at {store.path} belongs to a "
-                             "different model state.")
-        _, dx, dy = loaded
-        log.info("Reusing cached surface database at %s.", store.path)
-    else:
+    multi = jax.process_count() > 1
+
+    def _draw_and_create():
         key = jax.random.key(cfg.seed if cfg.seed is not None else 0)
         kx, ky = jax.random.split(key)
         dx = create_random_direction(params, kx, norm=viz.norm, ignore=viz.ignore_layers)
@@ -116,12 +108,43 @@ def crunch(model, bundle, mesh, cfg, fns, state, stats=None):
         store.create(params, dx, dy)
         log.info("Created new surface database at %s.", store.path)
 
+    if viz.rebuild_existing_database and (not multi or jax.process_index() == 0):
+        store.remove()
+    if multi:
+        # Rank 0 creates the store and draws dx/dy; every other process reads
+        # them from the store after the barrier — the file IS the direction
+        # broadcast (reference broadcasts dx/dy from rank 0, crunch.py:55-65).
+        # Without this, per-process SystemRandom seeds (job_startup) would
+        # give each process a DIFFERENT surface feeding one shared psum.
+        from jax.experimental import multihost_utils
+        if jax.process_index() == 0 and not store.exists():
+            _draw_and_create()
+        multihost_utils.sync_global_devices("crunch-store:" + store.path.name)
+    elif not store.exists():
+        _draw_and_create()
+    loaded = store.verify_model(params)
+    if loaded is None:
+        raise ValueError(f"The stored surface at {store.path} belongs to a "
+                         "different model state.")
+    _, dx, dy = loaded
+
     xcoords = np.linspace(viz.coordinates.x.min, viz.coordinates.x.max, viz.coordinates.x.num)
     ycoords = np.linspace(viz.coordinates.y.min, viz.coordinates.y.max, viz.coordinates.y.num)
     positions = [(float(x), float(y)) for x in xcoords for y in ycoords]
 
     claim_ttl = float(viz.get("claim_ttl", 3600.0))
     todo = store.pending(positions, ttl=claim_ttl)
+    if multi:
+        # The surface program is a collective: every process must run the
+        # SAME positions in the same order. The shared-file read above is
+        # racy against cooperating jobs appending rows between two ranks'
+        # reads, so rank 0's todo view wins (the reference broadcasts the
+        # current position each iteration, crunch.py:152-156).
+        from jax.experimental import multihost_utils
+        todo_set = set(map(tuple, todo))
+        mask = multihost_utils.broadcast_one_to_all(
+            np.array([tuple(p) in todo_set for p in positions], bool))
+        todo = [p for p, m in zip(positions, mask) if m]
     log.info("Crunching %d of %d positions (%d cached/claimed).", len(todo),
              len(positions), len(positions) - len(todo))
     if not todo:
@@ -139,7 +162,6 @@ def crunch(model, bundle, mesh, cfg, fns, state, stats=None):
 
     weight_decay = float(cfg.hyp.optim.get("weight_decay", 0.0) or 0.0)
     lr = float(make_lr_schedule(cfg.hyp)(int(state.step)))
-    param_norm_base = None  # depends on position; computed per group below
 
     group = max(int(viz.get("vmap_positions", 8)), 1)
     datapoints = num_blocks * chunks * sub * n_dev
@@ -160,7 +182,8 @@ def crunch(model, bundle, mesh, cfg, fns, state, stats=None):
             loss_sum, correct_sum, gn_sum = package[:, idx]
             train_loss = float(loss_sum) / num_blocks / n_dev
             train_acc = float(correct_sum) / datapoints
-            offset = set_parameter_offset(params, dx, position[0], dy, position[1])
+            # the offset params for this position already exist in `stacked`
+            offset = jax.tree.map(lambda leaf: leaf[idx], stacked)
             full_loss = train_loss + 0.5 * weight_decay * float(tree_sqnorm(offset))
             if compute_grads:
                 # mean over all blocks of squared block grad norms (crunch.py:96-99)

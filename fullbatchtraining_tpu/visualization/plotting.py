@@ -9,16 +9,23 @@ from __future__ import annotations
 
 import os
 
-import matplotlib
+from .database import load_surface
 
-matplotlib.use("Agg")
-import matplotlib.pyplot as plt  # noqa: E402
 
-from .database import load_surface  # noqa: E402
+def _pyplot():
+    """Import matplotlib lazily, inside the plot calls: an import-time
+    use('Agg') + rcParams mutation would hijack the backend and style of any
+    process that merely imports this package (e.g. for crunch)."""
+    import matplotlib
 
-plt.rcParams["font.family"] = "serif"
-plt.rcParams["font.size"] = 14
-plt.rcParams["lines.linewidth"] = 4
+    if not os.environ.get("DISPLAY"):
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.rcParams["font.family"] = "serif"
+    plt.rcParams["font.size"] = 14
+    plt.rcParams["lines.linewidth"] = 4
+    return plt
 
 
 def plot_2d_contour(db_path, xcoords, ycoords, key="train_loss", levels=30,
@@ -26,6 +33,8 @@ def plot_2d_contour(db_path, xcoords, ycoords, key="train_loss", levels=30,
     """Contour plot of a 2D surface (viz=2d grids; the reference configures 2D
     crunches but ships only 1D plotting - this completes the pair)."""
     import numpy as np
+
+    plt = _pyplot()
 
     positions = [(float(x), float(y)) for x in xcoords for y in ycoords]
     landscape = load_surface(db_path, positions)
@@ -44,6 +53,7 @@ def plot_2d_contour(db_path, xcoords, ycoords, key="train_loss", levels=30,
 def plot_1d_loss_err_row(base_data_dir, db_names, display_names, xcoords, positions,
                          figsize=None, xmin=-1.0, xmax=1.0, loss_max=5, log=False):
     """1D loss/accuracy row plots from surface stores."""
+    plt = _pyplot()
     ncols = len(db_names)
     if not figsize:
         figsize = (5 * ncols, 5)

@@ -23,6 +23,9 @@ def main():
     train_mode = "--train" in extra
     if train_mode:
         extra.remove("--train")
+    crunch_mode = "--crunch" in extra
+    if crunch_mode:
+        extra.remove("--crunch")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -71,6 +74,26 @@ def main():
                                    for g in jax.tree.leaves(state.params)])
             np.savez(outdir / "multiproc_train.npz", params=flat,
                      losses=np.asarray(stats["train_loss"]))
+        jax.distributed.shutdown()
+        return
+
+    if crunch_mode:
+        # Multi-process loss-landscape crunch: rank 0 draws directions into
+        # the store (the file is the broadcast), the todo list is rank-0
+        # coherent, and only rank 0 records rows.
+        import os
+
+        os.chdir(outdir)
+        from fullbatchtraining_tpu.visualization.crunch import crunch
+        from fullbatchtraining_tpu.visualization.database import load_surface
+
+        state = fns.init_state(variables)
+        store, positions = crunch(model, bundle, mesh, cfg, fns, state)
+        if jax.process_index() == 0:
+            landscape = load_surface(store.path, positions)
+            np.savez(outdir / "multiproc_crunch.npz",
+                     train_loss=np.asarray(landscape["train_loss"]),
+                     full_loss=np.asarray(landscape["full_loss"]))
         jax.distributed.shutdown()
         return
 

@@ -93,6 +93,27 @@ def test_interpolation(config_dir):
     assert cfg.analysis.check_every_nth_step == cfg.hyp.steps
 
 
+def test_override_never_destroys_scalar_intermediates(config_dir):
+    import pytest
+
+    # +data.path.cache=1 must NOT silently wipe the string data.path
+    with pytest.raises(KeyError):
+        load_config(config_dir, overrides=["+data.path.cache=1"])
+    # a failed set through a missing group raises without inserting empty
+    # intermediate nodes first
+    with pytest.raises(KeyError):
+        load_config(config_dir, overrides=["data.nosuch.key=1"])
+
+
+def test_chained_substring_interpolation(tmp_path):
+    # a='${b}/x' with b itself an interpolation must resolve the chain
+    # regardless of dict order (Hydra semantics)
+    (tmp_path / "chain.yaml").write_text("a: ${b}/x\nb: ${c}\nc: v\n")
+    cfg = load_config(tmp_path, config_name="chain")
+    assert cfg.a == "v/x"
+    assert cfg.b == "v"
+
+
 def test_lmdb_alias(config_dir):
     # The reference command line `data.db=LMDB` keeps working.
     cfg = load_config(config_dir, overrides=["data.db=LMDB", "data.db.rounds=10"])

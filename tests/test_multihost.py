@@ -212,6 +212,58 @@ def test_two_process_temp_bake_and_sharded_lbfgs(config_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_crunch_matches_single_process(config_dir, tmp_path):
+    """Loss-landscape crunch under process_count>1 (round-3 review fixes):
+    rank 0 creates the store and draws directions, other ranks load them
+    from the store after a barrier (per-process direction draws would feed
+    one shared psum with two different surfaces), the todo list is rank-0
+    coherent, and only rank 0 records rows. The surface must equal a
+    single-process 4-device crunch."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    viz = ["viz=1d", "viz.coordinates.x.num=3", "viz.vmap_positions=2",
+           "hyp.grad_reg.block_strength=0.5"]
+    procs = [subprocess.Popen(
+        [sys.executable, str(WORKER), str(pid), "2", str(port), str(tmp_path),
+         "--crunch"] + viz,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    multi = np.load(tmp_path / "multiproc_crunch.npz")
+
+    import shutil
+    cfg = load_config(config_dir, overrides=[
+        "model=linear", "data.size=64", "data.path=/tmp/__none__",
+        "data.batch_size=4", "hyp.sub_batch=4", "hyp=fb1", "hyp.warmup=0",
+        "seed=0", "data.augmentations_train=", "hyp.shuffle=True"] + viz)
+    mesh = make_mesh(cfg.impl.setup, devices=np.asarray(jax.devices()[:4]))
+    bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+    model = construct_model(cfg.model, bundle.channels, bundle.classes)
+    fns = make_train_functions(model, bundle, mesh, cfg)
+    from fullbatchtraining_tpu.models import initialize_model as _init
+    variables = _init(model, jax.random.key(0), bundle.pixels, bundle.channels)
+    state = fns.init_state(variables)
+    from fullbatchtraining_tpu.visualization.crunch import crunch
+    from fullbatchtraining_tpu.visualization.database import load_surface
+    single_dir = tmp_path / "single"
+    single_dir.mkdir()
+    cfg.original_cwd = str(single_dir)
+    store, positions = crunch(model, bundle, mesh, cfg, fns, state)
+    landscape = load_surface(store.path, positions)
+    np.testing.assert_allclose(multi["train_loss"],
+                               np.asarray(landscape["train_loss"]),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(multi["full_loss"],
+                               np.asarray(landscape["full_loss"]),
+                               rtol=1e-5, atol=1e-7)
+    shutil.rmtree(single_dir, ignore_errors=True)
+
+
+@pytest.mark.slow
 def test_two_process_streamed_stochastic_training(config_dir, tmp_path):
     """Round-3 streamed stochastic mode under real process_count>1: segment
     programs thread the replicated (params, opt_state) carry across
