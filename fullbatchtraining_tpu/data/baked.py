@@ -37,10 +37,14 @@ _BAKE_BATCH = 1024
 
 
 def _db_dir(cfg_db, cfg_data, size: int, aug_cfg, tmp_token=None) -> Path:
-    """The store path encodes everything that changes the baked bytes
+    """The store path encodes every CONFIG knob that changes the baked bytes
     (reference encodes the transform repr + first_round_clean in the LMDB
     path, lmdb_datasets.py:171-175), so config changes never silently reuse
-    a stale store. temporary_database bakes get a unique directory that the
+    a stale store. Deliberately NOT keyed: the run seed and the bake engine
+    (native mt19937 vs JAX threefry draw different streams) — an existing
+    store is reused across seeds exactly as the reference's LMDB path is;
+    re-bake explicitly with data.db.rebuild_existing_database=True.
+    temporary_database bakes get a unique directory that the
     exit cleanup removes without touching persistent stores; under multi-host
     ``tmp_token`` carries rank 0's pid so every host computes the same path."""
     import hashlib
@@ -124,7 +128,15 @@ def _bake_locked(train: ArrayDataset, cfg_data, cfg_db, seed: int,
             meta_file.unlink(missing_ok=True)  # no stale marker mid-bake
 
             n, h, w, c = train.images.shape
+            src_h, src_w = h, w
             h, w = augmented_hw(aug_cfg, h, w)  # size-changing bakes store the output shape
+            if cfg_db.first_round_clean and (h > src_h or w > src_w):
+                raise ValueError(
+                    f"first_round_clean cannot be satisfied for a size-"
+                    f"INCREASING bake ({src_h}x{src_w} -> {h}x{w}): the clean "
+                    "round has no un-augmented pixels for the larger store "
+                    "shape. Disable data.db.first_round_clean or drop the "
+                    "upscaling transform.")
             images = np.lib.format.open_memmap(
                 out_dir / "images.npy", mode="w+", dtype=np.uint8,
                 shape=(rounds, n, h, w, c))

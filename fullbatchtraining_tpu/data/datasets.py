@@ -137,13 +137,20 @@ def _load_tiny_imagenet(base: Path) -> tuple | None:
             (np.stack(val_imgs), np.asarray(val_labels)))
 
 
-def _load_imagefolder(base: Path, pixels: int, cache_tag: str) -> tuple | None:
+def _load_imagefolder(base: Path, pixels: int, cache_tag: str,
+                      dryrun: bool = False) -> tuple | None:
     """Standard ImageFolder tree (train/<class>/*, val/<class>/*), decoded once
     into a resized uint8 memmap cache.
 
     Images are resized so the shorter side is ``pixels`` then center-padded to
     square storage; the configured train/val crops (RandomResizedCrop /
     Resize+CenterCrop) run device-side on these arrays.
+
+    ``dryrun`` decodes only the first 256 files per split into a SEPARATE
+    dryrun cache (the reference's dryrun subsets the lazy ImageFolder and
+    never decodes the rest, data_preparation.py:32-37 — eagerly caching all
+    ~1.3M ImageNet images for a smoke test would take hours). A complete
+    full cache is preferred over the dryrun cache when present.
     """
     if not (base / "train").exists():
         return None
@@ -153,6 +160,10 @@ def _load_imagefolder(base: Path, pixels: int, cache_tag: str) -> tuple | None:
         return None
 
     cache = base / f"_fbt_cache_{cache_tag}_{pixels}"
+    limit = None
+    if dryrun and not (cache / "train_labels.npy").exists():
+        cache = base / f"_fbt_cache_{cache_tag}_{pixels}_dryrun"
+        limit = 256
 
     def build(split):
         img_file = cache / f"{split}_images.npy"
@@ -169,6 +180,10 @@ def _load_imagefolder(base: Path, pixels: int, cache_tag: str) -> tuple | None:
             for f in sorted((split_dir / cls).iterdir()):
                 files.append(f)
                 labels.append(label)
+            if limit is not None and len(files) >= limit:
+                break
+        if limit is not None:
+            files, labels = files[:limit], labels[:limit]
         cache.mkdir(parents=True, exist_ok=True)
         side = int(pixels * 1.15)  # headroom for random crops
         images = np.lib.format.open_memmap(
@@ -201,7 +216,7 @@ def construct_datasets(cfg_data, dryrun: bool = False) -> tuple[ArrayDataset, Ar
     elif name == "TinyImageNet":
         loaded = _load_tiny_imagenet(base)
     elif name == "ImageNet":
-        loaded = _load_imagefolder(base, cfg_data.pixels, name)
+        loaded = _load_imagefolder(base, cfg_data.pixels, name, dryrun=dryrun)
 
     if loaded is None:
         if not cfg_data.get("synthetic_fallback", False):

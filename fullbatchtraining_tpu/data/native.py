@@ -25,13 +25,31 @@ _tried = False
 
 
 def _build() -> bool:
+    """Compile to a pid-unique temp path, then atomically rename under an
+    flock: concurrent first-use processes must never dlopen a half-written
+    .so (g++ truncates its output in place) or compile over a mapped one."""
+    import fcntl
+    import os
+
     _LIB_DIR.mkdir(parents=True, exist_ok=True)
+    tmp = _LIB.with_name(f".{_LIB.name}.{os.getpid()}.tmp")
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", str(_LIB), str(_SRC)]
+           "-o", str(tmp), str(_SRC)]
     try:
-        subprocess.run(cmd, check=True, capture_output=True, text=True, timeout=120)
-        return True
-    except (subprocess.SubprocessError, FileNotFoundError) as err:
+        with open(_LIB_DIR / ".build.lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                if (_LIB.exists()
+                        and _LIB.stat().st_mtime >= _SRC.stat().st_mtime):
+                    return True  # another process built it while we waited
+                subprocess.run(cmd, check=True, capture_output=True,
+                               text=True, timeout=120)
+                os.replace(tmp, _LIB)
+                return True
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+    except (subprocess.SubprocessError, FileNotFoundError, OSError) as err:
+        tmp.unlink(missing_ok=True)
         log.warning("Native data engine build failed (%s); using the JAX path.", err)
         return False
 

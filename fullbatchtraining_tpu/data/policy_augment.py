@@ -327,6 +327,8 @@ def auto_augment_transform(spec: str, hparams: dict) -> Callable:
     policy_name = sections[0] or "v0"
     for section in sections[1:]:
         key, val = _split_spec(section)
+        if key is None:
+            continue  # digit-less section: reference skips it (:741-742)
         if key == "mstd":
             hparams.setdefault("magnitude_std", float(val))
         else:

@@ -17,6 +17,7 @@ egress a clear error asks for a local file= path instead.
 from __future__ import annotations
 
 import logging
+import os
 import re
 from pathlib import Path
 
@@ -182,7 +183,10 @@ def _fetch_release_asset(url: str, cache_dir: Path | None = None) -> Path:
     if target.exists():
         return target
     log.info("Downloading %s -> %s", url, target)
-    tmp = target.with_suffix(".tmp")
+    # pid-unique tmp: two processes downloading the same asset concurrently
+    # (multi-host, shared cache) must not interleave writes into one file
+    # and then atomically install the corrupt result
+    tmp = target.with_suffix(f".{os.getpid()}.tmp")
     try:
         with urllib.request.urlopen(url, timeout=60) as response, open(tmp, "wb") as out:
             while chunk := response.read(1 << 20):

@@ -109,6 +109,20 @@ def system_startup(cfg):
     from .parallel import make_mesh, setup_distributed
 
     setup_distributed(cfg.impl.setup)
+    if jax.process_count() > 1:
+        # The run seed feeds collective programs that every process must
+        # build identically (model init, the host-PRNG shuffle order in
+        # training.py) — but with cfg.seed unset, job_startup drew a
+        # DIFFERENT SystemRandom seed per process. Rank 0's seed wins, as in
+        # the reference where the launcher draws the seed once before
+        # spawning workers (reference utils.py:25-26).
+        from jax.experimental import multihost_utils
+        seed = int(multihost_utils.broadcast_one_to_all(
+            np.asarray(int(cfg.seed), np.int64)))
+        if seed != cfg.seed:
+            cfg.seed = seed
+            np.random.seed(seed % 2**32)
+            random.seed(seed)
     mesh = make_mesh(cfg.impl.setup)
     log.info("Platform: %s, devices: %d (%s), processes: %d, mesh axes: %s",
              jax.default_backend(), jax.device_count(),
@@ -126,7 +140,15 @@ def is_main_process() -> bool:
 
 def save_summary(cfg, stats, local_time: float):
     """Per-step convergence table + appended one-row run summary
-    (reference utils.py:131-186)."""
+    (reference utils.py:131-186).
+
+    DOCUMENTED DEVIATION: hyp/impl config columns are flattened to dotted
+    keys ('optim.lr', 'grad_reg.block_strength') instead of the reference's
+    top-level `**cfg.hyp` columns, which held python dict REPRs for nested
+    groups ('optim': "{'name': ...}") and were unusable for filtering. The
+    file location/format (tab-separated tables/table_fb_<dataset>_runs.csv)
+    and all metric columns are unchanged; mixed-era tables reconcile by
+    header (save_to_table)."""
     if not is_main_process():
         return
     num_steps = len(stats.get("train_loss", []))

@@ -47,6 +47,43 @@ def test_imagefolder_decode_resize_and_labels(tmp_path):
     np.testing.assert_array_equal(vlabels, [0, 1, 2])
 
 
+def test_imagefolder_dryrun_decodes_a_bounded_subset(tmp_path):
+    """dryrun must not eagerly decode + cache the whole tree (the reference
+    subsets the lazy ImageFolder, data_preparation.py:32-37): it decodes at
+    most `limit` files into a SEPARATE dryrun cache, and a complete full
+    cache is preferred when present."""
+    _make_tree(tmp_path, per_class=4, val_per_class=2)
+    train, val = _load_imagefolder(tmp_path, pixels=16, cache_tag="d",
+                                   dryrun=True)
+    assert (tmp_path / "_fbt_cache_d_16_dryrun" / "train_labels.npy").exists()
+    assert not (tmp_path / "_fbt_cache_d_16" / "train_labels.npy").exists()
+    assert len(train[0]) == 12  # 12 < 256: the whole tiny tree decodes
+
+    # full cache present -> dryrun prefers it over building a dryrun cache
+    full_train, _ = _load_imagefolder(tmp_path, pixels=16, cache_tag="d")
+    again, _ = _load_imagefolder(tmp_path, pixels=16, cache_tag="d",
+                                 dryrun=True)
+    assert len(again[0]) == len(full_train[0])
+
+
+def test_bake_rejects_upscaling_clean_round(config_dir, tmp_path):
+    """first_round_clean with a size-INCREASING bake has no un-augmented
+    pixels for the store shape: the bake must fail loudly instead of
+    writing a broken memmap (review regression)."""
+    import pytest as _pytest
+
+    from fullbatchtraining_tpu.config import load_config
+    from fullbatchtraining_tpu.data import construct_databundle
+
+    cfg = load_config(config_dir, overrides=[
+        "data.size=16", f"data.path={tmp_path}/none", "data.db=baked",
+        f"data.db.path={tmp_path}/db", "data.db.rounds=2",
+        "data.db.first_round_clean=True",
+        "data.db.augmentations_train={RandomCrop:[48,12]}", "hyp=fb1"])
+    with _pytest.raises(ValueError, match="size-INCREASING"):
+        construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+
+
 def test_imagefolder_cache_hit_skips_decode(tmp_path):
     _make_tree(tmp_path)
     first = _load_imagefolder(tmp_path, pixels=16, cache_tag="t")

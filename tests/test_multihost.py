@@ -212,6 +212,45 @@ def test_two_process_temp_bake_and_sharded_lbfgs(config_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_seed_broadcast(config_dir, tmp_path):
+    """With cfg.seed unset, job_startup draws a SystemRandom seed PER
+    process; system_startup must broadcast rank 0's so every process feeds
+    identical seeds into model init and the host-PRNG shuffle order
+    (reference draws the seed once in the launcher, utils.py:25-26)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    script = (
+        "import sys; sys.path.insert(0, {repo!r})\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_num_cpu_devices', 2)\n"
+        "from fullbatchtraining_tpu.config import load_config\n"
+        "from fullbatchtraining_tpu.utils import job_startup, system_startup\n"
+        "cfg = load_config({cfgdir!r}, overrides=[\n"
+        "    'seed=null', 'impl/setup=distributed',\n"
+        "    'impl.setup.url=localhost:{port}', 'impl.setup.world_size=2',\n"
+        "    'impl.setup.rank=' + sys.argv[1]])\n"
+        "cfg = job_startup(cfg, 'seedtest')\n"
+        "mesh = system_startup(cfg)\n"
+        "print('SEEDVAL', cfg.seed, flush=True)\n"
+        "jax.distributed.shutdown()\n"
+    ).format(repo=str(WORKER.parent.parent), cfgdir=str(config_dir), port=port)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", script, str(pid)],
+        cwd=tmp_path, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT) for pid in range(2)]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    seeds = []
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+        seeds += [line.split()[-1] for line in out.splitlines()
+                  if line.startswith("SEEDVAL")]
+    assert len(seeds) == 2 and seeds[0] == seeds[1] and seeds[0] != "None"
+
+
+@pytest.mark.slow
 def test_two_process_crunch_matches_single_process(config_dir, tmp_path):
     """Loss-landscape crunch under process_count>1 (round-3 review fixes):
     rank 0 creates the store and draws directions, other ranks load them
