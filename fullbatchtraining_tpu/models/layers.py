@@ -28,9 +28,21 @@ torch_default_conv = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "unif
 torch_linear_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
+def torch_default_bias(fan_in: int):
+    """torch's module-default bias init: uniform(+-1/sqrt(fan_in)). flax
+    cannot derive fan_in from the bias shape, so callers pass it."""
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 def _conv(features: int, kernel_size: int = 3, stride: int = 1, padding: int = 0,
           groups: int = 1, bias: bool = False, dilation: int = 1,
           padding_mode: str = "zeros", kernel_init=kaiming_normal_out,
+          bias_init=nn.initializers.zeros,
           name: str | None = None) -> nn.Conv:
     if padding_mode == "zeros":
         # torch.nn.Conv2d pads by exactly `padding` regardless of dilation
@@ -47,6 +59,7 @@ def _conv(features: int, kernel_size: int = 3, stride: int = 1, padding: int = 0
         use_bias=bias,
         kernel_dilation=(dilation, dilation),
         kernel_init=kernel_init,
+        bias_init=bias_init,
         name=name,
     )
     if padding_mode == "zeros":

@@ -63,17 +63,22 @@ class GhostBatchNorm(nn.Module):
 
         batch = x.shape[0]
         num_chunks = max(batch // self.virtual_batch_size, 1)
+        # Statistics/normalization in at least float32 (torch BN keeps f32
+        # stats under AMP) without truncating float64 oracle runs; the layer
+        # output returns in x.dtype so bf16 mixed precision stays bf16
+        # downstream (CLAUDE.md compute-dtype invariant).
+        sdtype = jnp.promote_types(x.dtype, jnp.float32)
         # torch.chunk semantics (reference modules.py:31-35): chunks of size
         # ceil(batch/num_chunks), the last one possibly smaller.
         csize = -(-batch // num_chunks)
         if train and batch % csize == 0:
-            chunks = x.reshape(batch // csize, csize, *x.shape[1:])
+            chunks = x.astype(sdtype).reshape(batch // csize, csize, *x.shape[1:])
             # per-chunk statistics over (sub-batch, H, W) for NHWC input
             axes = tuple(range(1, chunks.ndim - 1))
             mean = jnp.mean(chunks, axis=axes, keepdims=True)
             var = jnp.var(chunks, axis=axes, keepdims=True)
             normed = (chunks - mean) * jax.lax.rsqrt(var + self.epsilon)
-            out = normed.reshape(x.shape) * scale + bias
+            out = (normed.reshape(x.shape) * scale + bias).astype(x.dtype)
             if not self.is_initializing():
                 k = batch // csize
                 # sequential EMA over chunks with static weights
@@ -98,7 +103,7 @@ class GhostBatchNorm(nn.Module):
             outs = []
             new_mean, new_var = ra_mean.value, ra_var.value
             for start in range(0, batch, csize):
-                sl = x[start:start + csize]
+                sl = x[start:start + csize].astype(sdtype)
                 m = jnp.mean(sl, axis=axes, keepdims=True)
                 v = jnp.var(sl, axis=axes, keepdims=True)
                 outs.append((sl - m) * jax.lax.rsqrt(v + self.epsilon))
@@ -108,13 +113,14 @@ class GhostBatchNorm(nn.Module):
                 new_var = (self.momentum * new_var
                            + (1 - self.momentum) * v.reshape(self.channels)
                            * (n / max(n - 1, 1)))
-            out = jnp.concatenate(outs, axis=0) * scale + bias
+            out = (jnp.concatenate(outs, axis=0) * scale + bias).astype(x.dtype)
             if not self.is_initializing():
                 ra_mean.value = new_mean
                 ra_var.value = new_var
             return out
-        normed = (x - ra_mean.value) * jax.lax.rsqrt(ra_var.value + self.epsilon)
-        return normed * scale + bias
+        normed = (x.astype(sdtype) - ra_mean.value) * jax.lax.rsqrt(
+            ra_var.value + self.epsilon)
+        return (normed * scale + bias).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -72,7 +72,17 @@ def adaptive_clipped_sgd(cfg_optim, mask=None, weight_decay=None):
         slot = state.count % interval
         history = state.norm_history.at[slot].set(
             jnp.where(clipped, state.norm_history[slot], norm))
-        count = state.count + jnp.where(clipped, 0, 1).astype(state.count.dtype)
+        # QUIRK mirrored: the reference seeds the history with the first
+        # norm TWICE (state['norms'] = [n0], then the same step appends n0
+        # again, adaptive_clipping.py:59-64), so clipping arms at step
+        # interval-1 with n0 double-counted in the window.
+        first = state.count == 0
+        if interval > 1:
+            history = history.at[1].set(jnp.where(first, norm, history[1]))
+            inc = jnp.where(clipped, 0, jnp.where(first, 2, 1))
+        else:
+            inc = jnp.where(clipped, 0, 1)
+        count = state.count + inc.astype(state.count.dtype)
         new_params, sgd_state = base_update(grads, state.sgd, params, lr)
         return new_params, AdaptiveClipState(sgd=sgd_state, norm_history=history,
                                              count=count)

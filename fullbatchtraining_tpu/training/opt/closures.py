@@ -314,7 +314,12 @@ class WolfeGradientDescent(_ResumableDriver):
             if grad >= 0:
                 alpha = self._zoom(alpha, prev_alpha, phi_eval, phi0, lut)
                 break
-            prev_alpha, prev_loss = alpha, val
+            # QUIRK mirrored: the reference initializes prev_loss = inf and
+            # never updates it inside the loop (sgd_linesearch.py:315,
+            # :340-341), so its 'val > prev_loss' zoom trigger is DEAD code
+            # (textbook Nocedal-Wright would compare against the previous
+            # trial's value); keep it dead for trajectory parity.
+            prev_alpha = alpha
             last_evaluated = alpha
             alpha = min(alpha * 2.5, self.alpha_max)
             if alpha == self.alpha_max:

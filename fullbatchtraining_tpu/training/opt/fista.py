@@ -65,6 +65,7 @@ class FISTALineSearchDriver:
 
         params = state.params  # y_k
         grads, bn, metrics = self.fns.gradient_eval(state, images, labels)
+        bn_cur = bn  # stats chain through EVERY closure evaluation in order
         loss_yk = float(metrics["train_loss"])
         if self.x_prev is None:
             self.x_prev = params
@@ -81,8 +82,8 @@ class FISTALineSearchDriver:
             linearization = sum(float(jnp.vdot(g, d)) for g, d in
                                 zip(jax.tree.leaves(grads), jax.tree.leaves(delta)))
             distance = sum(float(jnp.sum(d * d)) for d in jax.tree.leaves(delta)) / 2
-            probe = state.replace(params=cand)
-            _, _, m2 = self.fns.gradient_eval(probe, images, labels)
+            probe = state.replace(params=cand, batch_stats=bn_cur)
+            _, bn_cur, m2 = self.fns.gradient_eval(probe, images, labels)
             loss_xk = float(m2["train_loss"])
             if (loss_xk - loss_yk - linearization) * self.lr > distance:
                 self.lr *= self.eta
@@ -99,8 +100,18 @@ class FISTALineSearchDriver:
         self.x_prev = x_plus
         metrics = dict(metrics)
         metrics["lr"] = self.lr
+        # The reference steps its (chainable) lr scheduler after every
+        # optimizer step, composing the schedule factor ON TOP of the
+        # backtracked lr (training.py:238/:285; torch cosine/exponential/
+        # multistep all mutate group['lr'] by a per-step ratio). Mirror via
+        # the schedule ratio; a zero schedule value (warmup step 0) has no
+        # finite ratio, so the lr is left for the next step to scale.
+        s_now = float(self.fns.schedule(state.step))
+        s_next = float(self.fns.schedule(state.step + 1))
+        if s_now > 0.0:
+            self.lr *= s_next / s_now
         return state.replace(step=state.step + 1, params=y_new,
-                             batch_stats=bn), metrics
+                             batch_stats=bn_cur), metrics
 
 
 def fista(cfg_optim, projection: Callable | None = None):

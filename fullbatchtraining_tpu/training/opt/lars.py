@@ -33,8 +33,12 @@ def wrap_lars(inner_update, trust_coefficient: float = 0.02, clip: bool = False,
                 grad_norm + param_norm * wd + eps)
             if clip:
                 adaptive = jnp.minimum(adaptive / lr, 1.0)
-            adaptive = jnp.where((param_norm != 0) & (grad_norm != 0), adaptive, 1.0)
-            return (g + wd * p) * adaptive
+            active = (param_norm != 0) & (grad_norm != 0)
+            adaptive = jnp.where(active, adaptive, 1.0)
+            # when either norm is zero the reference leaves the gradient
+            # COMPLETELY untouched — its guard wraps the wd add too
+            # (lars.py:76-87), so zero-grad params must not decay
+            return jnp.where(active, (g + wd * p) * adaptive, g)
 
         scaled = jax.tree.map(scale, grads, params, wd_tree)
         return inner_update(scaled, state, params, lr)

@@ -305,7 +305,11 @@ class LBFGSDriver:
         F_new = phi(t)
         while F_new > F_k + self.c1 * t * gtd or not _is_legal(F_new):
             if ls_step >= self.max_ls:
-                return 0.0, F_k, True
+                # the reference restores the params and re-evaluates the
+                # closure at t=0 (lbfgs.py:458-461): one more eval, chaining
+                # the BN stats through the restored point
+                F_new = phi(0.0)
+                return 0.0, F_new, True
             t_new = t
             if ls_step == 0 or not _is_legal(F_new):
                 t = t / self.eta
@@ -421,6 +425,13 @@ class LBFGSDriver:
         d = -self.two_loop_recursion(g) if self.s_hist else -g * self.H_diag
         gtd = float(jnp.vdot(g, d))
         if gtd > 0:
+            # DELIBERATE DEVIATION (documented, PARITY.md policy): the
+            # reference feeds a non-descent direction straight into its line
+            # search (lbfgs.py:420 has no gtd check), which then backtracks
+            # futilely to a failed step while polluting the (s, y) history.
+            # Restarting the memory on ascent directions is standard practice
+            # (minFunc) and only fires where the reference run is already
+            # degenerate.
             log.info("L-BFGS direction is not a descent direction (gtd=%g); "
                      "restarting memory.", gtd)
             self.s_hist, self.y_hist, self.H_diag = [], [], 1.0
@@ -460,6 +471,8 @@ class LBFGSDriver:
                 _, _, _, metrics = eval_at(t)
             new_params = self._unravel(self._unshard(theta0 + (t * lr_eff) * d))
         else:
+            if 0.0 in cache:  # failed search re-evaluated at the restored point
+                _, _, _, metrics = cache[0.0]
             new_params = self._unravel(self._unshard(theta0))
         metrics = dict(metrics)
         metrics["lr"] = lr_sched

@@ -22,10 +22,13 @@ def make_sam_step(fns, cfg, opt_update):
 
     def step(state, images, labels):
         lr = fns.schedule(state.step)
-        grads1, _, _ = fns.gradient_eval(state, images, labels)
+        grads1, bn1, _ = fns.gradient_eval(state, images, labels)
         norm = jnp.sqrt(tree_sqnorm(grads1))
         perturbed = tree_add_scaled(state.params, grads1, rho / (norm + 1e-12))
-        probe = state.replace(params=perturbed)
+        # the second closure call runs from the stats the FIRST call updated
+        # (reference closure semantics: each call applies one EMA update;
+        # the fused stochastic SAM path chains identically)
+        probe = state.replace(params=perturbed, batch_stats=bn1)
         grads2, bn, metrics = fns.gradient_eval(probe, images, labels)
         params, opt_state = opt_update(grads2, state.opt_state, state.params, lr)
         metrics = dict(metrics)
