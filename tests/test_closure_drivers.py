@@ -89,6 +89,29 @@ def test_nonmonotone_retries_chain_batch_stats():
                                -0.1 * 0.25 * np.ones(2), rtol=1e-6)
 
 
+def test_fista_driver_chains_stats_and_composes_schedule():
+    """The FISTA backtracking driver chains running stats through every
+    probe (each reference closure call applies one EMA update,
+    fista.py:158) and composes the lr schedule's per-step RATIO on top of
+    the backtracked lr (the reference steps its chainable scheduler after
+    every optimizer step, training.py:285)."""
+    from fullbatchtraining_tpu.training.opt.fista import FISTALineSearchDriver
+
+    cfg = _cfg(lr=0.1, eta=0.5, max_searches=5,
+               fista_mod=[1.0, 1.0, 4.0], tk=1.0)
+    # losses: y_k eval 10.0, first probe violates the descent lemma (1e6),
+    # second probe at the halved lr accepts (9.0 <= 10 - 0.1 + dist/lr)
+    fns = _StubFns([10.0, 1e6, 9.0])
+    fns.schedule = lambda step: 0.1 * (0.5 ** int(step))
+    driver = FISTALineSearchDriver(fns, cfg)
+    state, metrics = driver.step(_state(), None, None)
+    assert fns.calls == 3
+    # stats chained through ALL closure evaluations, including the rejected probe
+    np.testing.assert_allclose(float(state.batch_stats["bn"]), 3.0)
+    # backtracked once (0.1 -> 0.05), then scaled by schedule ratio 0.5
+    np.testing.assert_allclose(driver.lr, 0.05 * 0.5, rtol=1e-12)
+
+
 def test_wolfe_params_stay_at_last_fresh_attempt():
     from fullbatchtraining_tpu.training.opt.closures import WolfeGradientDescent
 
