@@ -174,3 +174,90 @@ def test_hydra_job_logging_override_accepted(config_dir):
     # CLI form are silently accepted (logging handled natively).
     cfg = load_config(config_dir, overrides=["hydra/job_logging=custom"])
     assert cfg.hyp.steps > 0
+
+
+def test_every_config_key_is_consumed_or_documented_inert(config_dir):
+    """Audit: every leaf key in the config tree is either read somewhere in
+    the package/entry-point source, or on the explicit inert allowlist below
+    (reference-surface keys with no TPU equivalent, each documented with an
+    `accepted + ignored`-style comment next to its YAML definition).
+
+    Guards against silently dropping a reference hyperparameter: a new config
+    key that nothing consumes fails this test until it is wired up or
+    consciously allowlisted.
+    """
+    import re
+
+    import yaml
+
+    repo = Path(__file__).resolve().parents[1]
+
+    inert = {
+        # torch DataLoader / AMP / TorchScript / cuDNN machinery (documented
+        # in config/impl/standard.yaml): no DataLoader workers, no loss
+        # scaling for bf16, XLA autotunes convolutions itself.
+        "impl.benchmark",
+        "impl.non_blocking",
+        "impl.pin_memory",
+        "impl.persistent_workers",
+        "impl.grad_scaling",
+        # LMDB reader/writer tuning (documented in config/data/db/*.yaml):
+        # the memory-mapped rounds store has no LMDB transactions.
+        "data.db.write_frequency",
+        "data.db.max_readers",
+        "data.db.readahead",
+        "data.db.meminit",
+        "data.db.max_spare_txns",
+        # Dead upstream: reference crunch.py:21 hard-codes model.eval() and
+        # never reads viz.model_eval (documented in config/viz/{1d,2d}.yaml).
+        "viz.model_eval",
+        # Recipe label: never read by name (here or upstream); recorded in
+        # the run-summary TSV through save_summary's generic hyp flattening.
+        "hyp.template_name",
+    }
+
+    leaves = set()
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for key, value in node.items():
+                if key == "defaults":
+                    continue
+                walk(value, prefix + [str(key)])
+        else:
+            leaves.add(".".join(prefix))
+
+    group_of = {"data": "data", "model": "model", "impl": "impl", "hyp": "hyp",
+                "analysis": "analysis", "viz": "viz"}
+    for path in sorted((repo / "config").rglob("*.yaml")):
+        rel = path.relative_to(repo / "config")
+        if rel.parts[0] == "hydra":
+            continue  # logging config consumed as a whole (job_startup)
+        loaded = yaml.safe_load(path.read_text())
+        if not isinstance(loaded, dict):
+            continue
+        prefix = []
+        if rel.parts[0] in group_of:
+            prefix = list(rel.parts[:-1])
+            # nested option groups (hyp/optim/*.yaml) key under their group
+        walk(loaded, prefix)
+
+    source = "\n".join(
+        p.read_text()
+        for pattern in ("fullbatchtraining_tpu/**/*.py", "*.py")
+        for p in sorted(repo.glob(pattern)))
+
+    unconsumed = []
+    for leaf in sorted(leaves):
+        name = leaf.split(".")[-1]
+        if name.startswith("_"):
+            continue
+        if leaf in inert or any(leaf.endswith(i.split(".", 1)[1]) for i in inert
+                                if "." in i):
+            continue
+        if re.search(r"\b" + re.escape(name) + r"\b", source) is None:
+            unconsumed.append(leaf)
+
+    assert not unconsumed, (
+        "Config keys defined but never read in source and not allowlisted as "
+        f"inert: {unconsumed}")
