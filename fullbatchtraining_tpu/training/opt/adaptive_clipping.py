@@ -16,6 +16,11 @@ Matching reference semantics kept: spiked (clipped) norms are NOT recorded
 into the history (the reference only appends in the non-clipping branches,
 adaptive_clipping.py:62-74), so one spike cannot poison the window and
 disable clipping for the next ``interval`` steps.
+
+Trajectory-oracle tested against the reference's own train loop (recipe
+``clipping`` in tests/test_trajectory_oracle.py, reference minimally patched
+per the two defects above): full stats trace + final params at fp64
+rtol 1e-7, with both armed-window branches firing.
 """
 
 from __future__ import annotations
@@ -46,8 +51,12 @@ def adaptive_clipped_sgd(cfg_optim, mask=None, weight_decay=None):
         mask=mask)
 
     def init(params):
+        # at least float32; float64 params keep full precision (the norm
+        # window feeds the clip scale factor, so a float32 hard-cast would
+        # contaminate fp64 trajectories)
+        dt = jnp.promote_types(jax.tree.leaves(params)[0].dtype, jnp.float32)
         return AdaptiveClipState(sgd=base_init(params),
-                                 norm_history=jnp.zeros((interval,), jnp.float32),
+                                 norm_history=jnp.zeros((interval,), dt),
                                  count=jnp.zeros((), jnp.int32))
 
     def grad_norm(grads):
@@ -60,7 +69,7 @@ def adaptive_clipped_sgd(cfg_optim, mask=None, weight_decay=None):
         return jnp.linalg.norm(stack, ord=norm_type)
 
     def update(grads, state, params, lr):
-        norm = grad_norm(grads).astype(jnp.float32)
+        norm = grad_norm(grads).astype(state.norm_history.dtype)
         warm = state.count >= interval
         recent_max = jnp.max(state.norm_history)
         clipped = warm & (norm >= recent_max)

@@ -208,6 +208,65 @@ def _fix_ref_lbfgs():
     lbfgs_mod.LBFGS._gather_flat_grad = gather
 
 
+def _fix_ref_adaptive_clipping():
+    """Patch the reference AdaptiveGradientClipping's two defects for the
+    oracle run (both fixed in this repo — opt/adaptive_clipping.py):
+    ``_scale_gradients`` multiplies the PARAMETERS instead of the gradients
+    (adaptive_clipping.py:39-42), and the warm non-clipping branch returns
+    without ever stepping (adaptive_clipping.py:70-74). The norm-window
+    bookkeeping runs as written — double-seeded first norm, clipped norms
+    not recorded — because those are the semantics our implementation
+    mirrors. Also fills the modern-torch SGD group keys (the class builds
+    its own defaults dict, like the line searches)."""
+    import torch
+
+    mod = sys.modules["reftrain.training.additional_optimizers.adaptive_clipping"]
+    cls = mod.AdaptiveGradientClipping
+    if getattr(cls, "_oracle_patched", False):
+        return
+
+    orig_init = cls.__init__
+
+    def init(self, *a, _orig=orig_init, **k):
+        _orig(self, *a, **k)
+        for key, val in (("maximize", False), ("foreach", None),
+                         ("differentiable", False), ("fused", None)):
+            self.defaults.setdefault(key, val)
+            for g in self.param_groups:
+                g.setdefault(key, val)
+
+    def _scale_gradients(self, current_gradient_norm, grad_target_norm):
+        scale_factor = grad_target_norm / (current_gradient_norm + 1e-6)
+        for group in self.param_groups:
+            torch._foreach_mul_([p.grad for p in group["params"]], scale_factor)
+
+    @torch.no_grad()
+    def step(self, closure):
+        global_group = self.param_groups[0]
+        with torch.enable_grad():
+            loss = closure()
+        grad_norm = self._compute_gradient_norm()
+        if self.state.get("norms") is None:
+            self.state["norms"] = [grad_norm]
+        if len(self.state["norms"]) < global_group["interval"]:
+            self.state["norms"].append(grad_norm)
+        else:
+            recent_norm_max = max(self.state["norms"][-global_group["interval"]:])
+            if grad_norm < recent_norm_max:
+                self.state["norms"].append(grad_norm)
+            else:
+                print(f'Recent maximum grad norm was {recent_norm_max}, but '
+                      f'new norm is {grad_norm.item()}. Rescaling ...')
+                self._scale_gradients(grad_norm, recent_norm_max)
+        torch.optim.SGD.step(self)
+        return loss
+
+    cls.__init__ = init
+    cls._scale_gradients = _scale_gradients
+    cls.step = step
+    cls._oracle_patched = True
+
+
 def _fix_ref_restarting():
     """The reference Restarting/NonMonotone line searches subclass
     torch.optim.SGD but build their own defaults dict; modern torch's
@@ -320,6 +379,16 @@ RECIPES = {
                       "+hyp.optim.interval=2", "hyp.optim.lr=3.0"], "params"),
     "agc": (["hyp=fb1", "hyp.scheduler=cosine-decay", "hyp/optim=gd_agc"],
             "full"),
+    # iteration-adaptive clipping ('Adaptive Gradient Descent'): interval=2
+    # so the window arms within 8 steps; lr chosen so the grad norm both
+    # rises above the recent max (rescale branch, asserted via the
+    # reference's own 'Rescaling' print) and falls below it (record branch)
+    # during the run. The reference runs minimally patched (see
+    # _fix_ref_adaptive_clipping): grads scaled instead of params and every
+    # update steps; window bookkeeping incl. the double-seeded first norm
+    # runs as written.
+    "clipping": (["hyp=fb1", "hyp.scheduler=cosine-decay", "hyp/optim=gd_clip",
+                  "hyp.optim.interval=2", "hyp.optim.lr=30.0"], "full"),
     # evaluation / modifier / loss integration variants
     "flips": (["hyp=fb1", "hyp.scheduler=cosine-decay",
                "hyp.test_time_flips=True"], "full"),
@@ -409,7 +478,7 @@ def test_reference_lars_is_a_noop_ours_is_not(config_dir,
 
 @pytest.mark.parametrize("recipe", list(RECIPES))
 def test_train_trajectory_matches_reference(recipe, config_dir, tmp_path,
-                                            _torch19_foreach_shim):
+                                            _torch19_foreach_shim, capsys):
     import jax
 
     from fullbatchtraining_tpu.config import load_config
@@ -453,6 +522,8 @@ def test_train_trajectory_matches_reference(recipe, config_dir, tmp_path,
         _fix_ref_lbfgs()
     if recipe in ("restarting", "non-monotone"):
         _fix_ref_restarting()
+    if recipe == "clipping":
+        _fix_ref_adaptive_clipping()
     tmodel = _torch_model(params0, bundle.classes)
     if semi:
         # the reference trains on the FLAT N x store; its own
@@ -468,7 +539,14 @@ def test_train_trajectory_matches_reference(recipe, config_dir, tmp_path,
     validloader = _torch_loader(bundle.valid.images, bundle.valid.labels,
                                 cfg.data.batch_size, drop_last=False)
     setup = {"device": torch.device("cpu"), "dtype": torch.float64}
+    capsys.readouterr()
     ref_stats = reftrain.train(tmodel, trainloader, validloader, setup, cfg)
+    if recipe == "clipping":
+        # both branches of the armed window must actually fire: rescales
+        # announce themselves via the reference's own print, the remaining
+        # warm steps took the record branch
+        rescales = capsys.readouterr().out.count("Rescaling")
+        assert 1 <= rescales <= steps - 2, rescales
 
     # ---- the trajectory must coincide -------------------------------------
     if mode == "full":
