@@ -39,6 +39,14 @@ Deviations from the reference, documented:
   accumulate the exact LOCAL mean (counter = chunk_index+1) and divide by
   n_dev after the single psum; the multi-device gradient now equals the
   true dataset mean (tests: sharding invariance at multiple chunks/device).
+* REFERENCE BUG FIXED: any reference run with hyp.batch_clip set crashes -
+  its _record_stats reads `clipped_batches` (training.py:118), a local
+  variable of the SIBLING closure _accumulate_full_gradient (:143), so
+  recording raises NameError unconditionally (and with a global injected,
+  the recorded count is never the real one). Here clipped_batches is a
+  metrics entry that rides the step's psum; trajectory-oracle recipe
+  `batchclip` drives the reference with a minimal crash-fix and matches it
+  at rtol 1e-7.
 """
 
 from __future__ import annotations

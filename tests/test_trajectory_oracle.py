@@ -379,6 +379,22 @@ RECIPES = {
                       "+hyp.optim.interval=2", "hyp.optim.lr=3.0"], "params"),
     "agc": (["hyp=fb1", "hyp.scheduler=cosine-decay", "hyp/optim=gd_agc"],
             "full"),
+    # per-chunk clipping through BOTH application sites (reference
+    # training.py:138-139 clips the acc_strength pre-pass gradients,
+    # :166-167 the main-sweep chunk gradients before the streaming mean);
+    # 0.33 sits mid-range of the measured chunk norms so only SOME chunks
+    # clip (asserted from this repo's clipped_batches series).
+    # REFERENCE BUG: any reference run with hyp.batch_clip set crashes —
+    # _record_stats reads `clipped_batches` (training.py:118), a local of
+    # its SIBLING closure _accumulate_full_gradient (:143), so recording
+    # raises NameError unconditionally. The oracle seeds a module global so
+    # the reference runs; its clipped_batches series is then meaningless
+    # (always the global) and is not compared. The clipping itself (inside
+    # _accumulate_full_gradient) is intact and is what the trajectory
+    # verifies; this repo records the true per-step count.
+    "batchclip": (["hyp=gradreg", "hyp.grad_reg.acc_strength=0.3",
+                   "hyp.grad_reg.implementation=forward-differences",
+                   "hyp.batch_clip=0.33"], "full"),
     # iteration-adaptive clipping ('Adaptive Gradient Descent'): interval=2
     # so the window arms within 8 steps; lr chosen so the grad norm both
     # rises above the recent max (rescale branch, asserted via the
@@ -540,7 +556,18 @@ def test_train_trajectory_matches_reference(recipe, config_dir, tmp_path,
                                 cfg.data.batch_size, drop_last=False)
     setup = {"device": torch.device("cpu"), "dtype": torch.float64}
     capsys.readouterr()
+    if recipe == "batchclip":
+        # minimal crash-fix for the reference bug documented at the recipe:
+        # give _record_stats's dangling `clipped_batches` name a module
+        # global to resolve to (the true count is a sibling-closure local
+        # the reference code cannot reach)
+        reftrain.clipped_batches = 0
     ref_stats = reftrain.train(tmodel, trainloader, validloader, setup, cfg)
+    if recipe == "batchclip":
+        # SOME but not ALL chunks clipped each step (this repo's true
+        # per-step count; 8 chunks per step at this layout)
+        counts = np.asarray(ours["clipped_batches"], dtype=float)
+        assert counts.size == steps and 0 < counts.sum() < 8 * steps, counts
     if recipe == "clipping":
         # both branches of the armed window must actually fire: rescales
         # announce themselves via the reference's own print, the remaining
