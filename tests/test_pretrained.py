@@ -138,3 +138,13 @@ def test_pretrained_false_returns_random_init():
 
     model, variables = hubconf.resnet18_fbaug_clip(pretrained=False, progress=False)
     assert "params" in variables  # no network access happened
+
+    # signature parity: the reference defaults pretrained=False
+    # (hubconf.py:71-99), so a bare hub call returns a random init there too
+    import inspect
+
+    for entry in ("resnet18_fbaug_clip", "resnet18_fbaug_gradreg",
+                  "resnet18_fbaug_gradreg_v2", "resnet18_fbaug_highreg",
+                  "resnet152_fbaug_highreg"):
+        sig = inspect.signature(getattr(hubconf, entry))
+        assert sig.parameters["pretrained"].default is False, entry
