@@ -170,10 +170,12 @@ def _model_cfg(depth: int, width: int = 64, downsample: str = "C"):
     })
 
 
-def _fetch_release_asset(url: str, cache_dir: Path | None = None) -> Path:
+def _fetch_release_asset(url: str, cache_dir: Path | None = None,
+                         progress: bool = True) -> Path:
     """Download a release asset with urllib (reference hubconf.py:37-40 uses
-    torch.hub.load_state_dict_from_url). Cached under ~/.cache; raises a
-    clear error in zero-egress environments. file:// URLs work offline."""
+    torch.hub.load_state_dict_from_url, whose ``progress`` flag we honor as
+    per-MiB progress logging). Cached under ~/.cache; raises a clear error
+    in zero-egress environments. file:// URLs work offline."""
     import urllib.error
     import urllib.request
 
@@ -189,8 +191,14 @@ def _fetch_release_asset(url: str, cache_dir: Path | None = None) -> Path:
     tmp = target.with_suffix(f".{os.getpid()}.tmp")
     try:
         with urllib.request.urlopen(url, timeout=60) as response, open(tmp, "wb") as out:
+            total = int(response.headers.get("Content-Length") or 0)
+            done = 0
             while chunk := response.read(1 << 20):
                 out.write(chunk)
+                done += len(chunk)
+                if progress:
+                    log.info("  %.1f MiB%s", done / 2**20,
+                             f" / {total / 2**20:.1f}" if total else "")
     except (urllib.error.URLError, OSError) as err:
         tmp.unlink(missing_ok=True)
         raise RuntimeError(
@@ -204,7 +212,7 @@ def _fetch_release_asset(url: str, cache_dir: Path | None = None) -> Path:
 
 def load_pretrained(entry: str, file: str | Path | None = None,
                     channels: int = 3, classes: int = 10,
-                    pretrained: bool = True):
+                    pretrained: bool = True, progress: bool = True):
     """Build the model + converted variables for a hub entry.
 
     ``file``: local path or URL (http/https/file) of the release .pth asset.
@@ -212,6 +220,8 @@ def load_pretrained(entry: str, file: str | Path | None = None,
     hubconf.py:37-40) — offline, a clear error points at file=.
     ``pretrained=False`` skips weight loading and returns the randomly
     initialized model (reference hubconf gates the download on the flag).
+    ``progress`` toggles download progress logging (the reference forwards
+    it to load_state_dict_from_url).
     """
     if entry not in RELEASE_FILES:
         raise ValueError(f"Unknown entry {entry}. Available: {sorted(RELEASE_FILES)}")
@@ -224,9 +234,10 @@ def load_pretrained(entry: str, file: str | Path | None = None,
         log.info("pretrained=False: returning randomly initialized %s.", entry)
         return model, variables
     if file is None:
-        file = _fetch_release_asset(_RELEASE_URL + RELEASE_FILES[entry])
+        file = _fetch_release_asset(_RELEASE_URL + RELEASE_FILES[entry],
+                                    progress=progress)
     elif isinstance(file, str) and file.split("://")[0] in ("http", "https", "file"):
-        file = _fetch_release_asset(file)
+        file = _fetch_release_asset(file, progress=progress)
     model_state, step = _torch_load(file)
     variables = convert_torch_resnet(model_state, variables)
     log.info("Loaded %s (trained to step %d).", entry, step)
@@ -234,7 +245,11 @@ def load_pretrained(entry: str, file: str | Path | None = None,
 
 
 def __getattr__(name):
-    """hub-style callables: pretrained.resnet18_fbaug_highreg(file=...)"""
+    """hub-style callables: pretrained.resnet18_fbaug_highreg(file=...).
+
+    Defaults mirror hubconf.py:71-99 (pretrained=False), unlike the explicit
+    library call load_pretrained(entry) which defaults to loading weights."""
     if name in RELEASE_FILES:
-        return lambda file=None, **kw: load_pretrained(name, file=file, **kw)
+        return lambda file=None, pretrained=False, **kw: load_pretrained(
+            name, file=file, pretrained=pretrained, **kw)
     raise AttributeError(name)

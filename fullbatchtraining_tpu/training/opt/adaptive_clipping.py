@@ -17,10 +17,12 @@ into the history (the reference only appends in the non-clipping branches,
 adaptive_clipping.py:62-74), so one spike cannot poison the window and
 disable clipping for the next ``interval`` steps.
 
-Trajectory-oracle tested against the reference's own train loop (recipe
-``clipping`` in tests/test_trajectory_oracle.py, reference minimally patched
-per the two defects above): full stats trace + final params at fp64
-rtol 1e-7, with both armed-window branches firing.
+Trajectory-oracle tested against the reference's own train loop (recipes
+``clipping`` (interval=2) and ``clipping1`` (interval=1, where the reference
+arms on the very first step and rescales n0 by n0/(n0+1e-6)) in
+tests/test_trajectory_oracle.py, reference minimally patched per the two
+defects above): full stats trace + final params at fp64 rtol 1e-7, with
+both armed-window branches firing.
 """
 
 from __future__ import annotations
@@ -70,8 +72,17 @@ def adaptive_clipped_sgd(cfg_optim, mask=None, weight_decay=None):
 
     def update(grads, state, params, lr):
         norm = grad_norm(grads).astype(state.norm_history.dtype)
-        warm = state.count >= interval
-        recent_max = jnp.max(state.norm_history)
+        first = state.count == 0
+        if interval > 1:
+            warm = state.count >= interval
+            recent_max = jnp.max(state.norm_history)
+        else:
+            # QUIRK mirrored: with interval=1 the reference is armed on the
+            # very FIRST step — state['norms'] = [n0] already has len ==
+            # interval, so step 0 compares n0 >= max([n0]) and rescales by
+            # n0/(n0+1e-6) (adaptive_clipping.py:59-77).
+            warm = jnp.asarray(True)
+            recent_max = jnp.where(first, norm, jnp.max(state.norm_history))
         clipped = warm & (norm >= recent_max)
         scale = jnp.where(clipped, recent_max / (norm + 1e-6), 1.0)
         grads = tree_scale(grads, scale)
@@ -85,12 +96,15 @@ def adaptive_clipped_sgd(cfg_optim, mask=None, weight_decay=None):
         # norm TWICE (state['norms'] = [n0], then the same step appends n0
         # again, adaptive_clipping.py:59-64), so clipping arms at step
         # interval-1 with n0 double-counted in the window.
-        first = state.count == 0
         if interval > 1:
             history = history.at[1].set(jnp.where(first, norm, history[1]))
             inc = jnp.where(clipped, 0, jnp.where(first, 2, 1))
         else:
-            inc = jnp.where(clipped, 0, 1)
+            # the seed entry [n0] persists even though step 0 takes the
+            # clip branch (which never appends): slot 0 must hold n0 after
+            # the first update.
+            history = history.at[0].set(jnp.where(first, norm, history[0]))
+            inc = jnp.where(first, 1, jnp.where(clipped, 0, 1))
         count = state.count + inc.astype(state.count.dtype)
         new_params, sgd_state = base_update(grads, state.sgd, params, lr)
         return new_params, AdaptiveClipState(sgd=sgd_state, norm_history=history,

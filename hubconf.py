@@ -15,20 +15,20 @@ from fullbatchtraining_tpu.pretrained import (  # noqa: F401, E402
 
 
 def resnet18_fbaug_clip(pretrained=False, file=None, progress=True, **kwargs):
-    return load_pretrained("resnet18_fbaug_clip", file=file, pretrained=pretrained, **kwargs)
+    return load_pretrained("resnet18_fbaug_clip", file=file, pretrained=pretrained, progress=progress, **kwargs)
 
 
 def resnet18_fbaug_gradreg(pretrained=False, file=None, progress=True, **kwargs):
-    return load_pretrained("resnet18_fbaug_gradreg", file=file, pretrained=pretrained, **kwargs)
+    return load_pretrained("resnet18_fbaug_gradreg", file=file, pretrained=pretrained, progress=progress, **kwargs)
 
 
 def resnet18_fbaug_gradreg_v2(pretrained=False, file=None, progress=True, **kwargs):
-    return load_pretrained("resnet18_fbaug_gradreg_v2", file=file, pretrained=pretrained, **kwargs)
+    return load_pretrained("resnet18_fbaug_gradreg_v2", file=file, pretrained=pretrained, progress=progress, **kwargs)
 
 
 def resnet18_fbaug_highreg(pretrained=False, file=None, progress=True, **kwargs):
-    return load_pretrained("resnet18_fbaug_highreg", file=file, pretrained=pretrained, **kwargs)
+    return load_pretrained("resnet18_fbaug_highreg", file=file, pretrained=pretrained, progress=progress, **kwargs)
 
 
 def resnet152_fbaug_highreg(pretrained=False, file=None, progress=True, **kwargs):
-    return load_pretrained("resnet152_fbaug_highreg", file=file, pretrained=pretrained, **kwargs)
+    return load_pretrained("resnet152_fbaug_highreg", file=file, pretrained=pretrained, progress=progress, **kwargs)

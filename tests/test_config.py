@@ -252,9 +252,8 @@ def test_every_config_key_is_consumed_or_documented_inert(config_dir):
         name = leaf.split(".")[-1]
         if name.startswith("_"):
             continue
-        if leaf in inert or any(leaf.endswith(i.split(".", 1)[1]) for i in inert
-                                if "." in i):
-            continue
+        if leaf in inert:  # exact matches only: a suffix clause would let a
+            continue       # future unconsumed key ride another group's entry
         if re.search(r"\b" + re.escape(name) + r"\b", source) is None:
             unconsumed.append(leaf)
 

@@ -3,13 +3,13 @@
 Drives the reference training loop (/root/reference/fullbatch/training/
 training.py:train, imported read-only with stub sibling packages and
 torch-1.9 shims) for several steps on a tiny no-BN convnet with identical
-fp64 weights and identical data, across 18 recipes spanning the full-batch,
-stochastic, and semi-stochastic modes, the gradient regularizer, the whole
-optimizer zoo
+fp64 weights and identical data, across 27 recipes (21 here + 6 BN-model
+recipes below) spanning the full-batch, stochastic, and semi-stochastic
+modes, the gradient regularizer, the whole optimizer zoo
 (AdamW, Wolfe/restarting/non-monotone line searches, SAM, L-BFGS, FISTA,
-GD-AGC), and the evaluation/modifier/loss variants, and asserts this
-repo's train() reproduces the full parameter trajectory and the stats
-trace.
+GD-AGC, iteration-adaptive clipping), and the evaluation/modifier/loss
+variants, and asserts this repo's train() reproduces the full parameter
+trajectory and the stats trace.
 
 This is the strongest accuracy-parity evidence obtainable in a zero-egress
 environment (VERDICT r2 weak #4): every subsystem the recipes touch —
@@ -405,6 +405,13 @@ RECIPES = {
     # runs as written.
     "clipping": (["hyp=fb1", "hyp.scheduler=cosine-decay", "hyp/optim=gd_clip",
                   "hyp.optim.interval=2", "hyp.optim.lr=30.0"], "full"),
+    # interval=1 edge: the reference arms on the very FIRST step
+    # (state['norms'] = [n0] already has len == interval, so step 0
+    # rescales by n0/(n0+1e-6) and n0 stays the window seed) — covers the
+    # immediate-warm branch in opt/adaptive_clipping.py.
+    "clipping1": (["hyp=fb1", "hyp.scheduler=cosine-decay",
+                   "hyp/optim=gd_clip", "hyp.optim.interval=1",
+                   "hyp.optim.lr=30.0"], "full"),
     # evaluation / modifier / loss integration variants
     "flips": (["hyp=fb1", "hyp.scheduler=cosine-decay",
                "hyp.test_time_flips=True"], "full"),
@@ -538,7 +545,7 @@ def test_train_trajectory_matches_reference(recipe, config_dir, tmp_path,
         _fix_ref_lbfgs()
     if recipe in ("restarting", "non-monotone"):
         _fix_ref_restarting()
-    if recipe == "clipping":
+    if recipe in ("clipping", "clipping1"):
         _fix_ref_adaptive_clipping()
     tmodel = _torch_model(params0, bundle.classes)
     if semi:
@@ -568,12 +575,16 @@ def test_train_trajectory_matches_reference(recipe, config_dir, tmp_path,
         # per-step count; 8 chunks per step at this layout)
         counts = np.asarray(ours["clipped_batches"], dtype=float)
         assert counts.size == steps and 0 < counts.sum() < 8 * steps, counts
-    if recipe == "clipping":
+    if recipe in ("clipping", "clipping1"):
         # both branches of the armed window must actually fire: rescales
         # announce themselves via the reference's own print, the remaining
-        # warm steps took the record branch
+        # warm steps took the record branch. interval=1 rescales step 0
+        # unconditionally (n0 >= max([n0])) and then clips every norm above
+        # the last RECORDED one, so nearly all steps rescale — require only
+        # that the record branch fired at least once there.
         rescales = capsys.readouterr().out.count("Rescaling")
-        assert 1 <= rescales <= steps - 2, rescales
+        upper = steps - 1 if recipe == "clipping1" else steps - 2
+        assert 1 <= rescales <= upper, rescales
 
     # ---- the trajectory must coincide -------------------------------------
     if mode == "full":

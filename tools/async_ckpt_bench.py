@@ -7,9 +7,9 @@ The reference blocks on torch.save every save interval
 atomic write onto a background thread against a donation-safe on-device
 snapshot (training/utils.py). This tool measures what that buys on the chip:
 the same training run with a checkpoint EVERY step, sync vs async, reporting
-wall-clock seconds per optimizer step (total loop wall over steps, compile
-excluded via a warmup run that populates the in-process jit caches through
-the persistent compile cache).
+wall-clock seconds per optimizer step (total loop wall over steps; a warmup
+run populates the persistent XLA compile cache — wired via system_startup —
+and is excluded, then no-checkpoint / sync / async runs are timed warm).
 
 Usage:  python tools/async_ckpt_bench.py [--steps 8] [--size 50000]
         [--batch 2048] [--cpu]
@@ -35,11 +35,14 @@ def run_once(overrides, tag):
     from fullbatchtraining_tpu.config import load_config
     from fullbatchtraining_tpu.data import construct_databundle
     from fullbatchtraining_tpu.models import construct_model
-    from fullbatchtraining_tpu.parallel.mesh import make_mesh
     from fullbatchtraining_tpu.training.training import train
+    from fullbatchtraining_tpu.utils import system_startup
 
     cfg = load_config(REPO / "config", overrides=overrides)
-    mesh = make_mesh(cfg.impl.setup)
+    # system_startup (not bare make_mesh) so impl.compilation_cache is wired
+    # up — without it every run_once pays the full cold XLA compile and the
+    # sync/async delta drowns in compile noise.
+    mesh = system_startup(cfg)
     bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
     model = construct_model(cfg.model, bundle.channels, bundle.classes)
     start = time.perf_counter()
@@ -75,9 +78,11 @@ def main():
 
     results = {}
     # warmup populates the persistent compile cache for these exact shapes
-    # (no checkpointing), so the timed runs pay only cache-hit compiles
+    # and is NOT reported; the three timed runs after it (no-checkpoint
+    # baseline, sync, async) pay only cache-hit compiles
     for tag, extra in (
         ("warmup", []),
+        ("nockpt", []),
         ("sync", [f"impl.checkpoint.name={workdir}/sync.ckpt",
                   "impl.checkpoint.save_every_nth_step=1",
                   "impl.checkpoint.async_save=False"]),
@@ -101,7 +106,7 @@ def main():
         "metric": "checkpoint-every-step overhead, sync vs async",
         "sync_s_per_step": results["sync"]["s_per_step"],
         "async_s_per_step": results["async"]["s_per_step"],
-        "nockpt_s_per_step": results["warmup"]["s_per_step"],
+        "nockpt_s_per_step": results["nockpt"]["s_per_step"],
         "ckpt_mb": round(ckpt_bytes / 1e6, 1),
         "final_ckpt_identical": identical,
         "steps": args.steps,
