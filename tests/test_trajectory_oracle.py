@@ -3,7 +3,7 @@
 Drives the reference training loop (/root/reference/fullbatch/training/
 training.py:train, imported read-only with stub sibling packages and
 torch-1.9 shims) for several steps on a tiny no-BN convnet with identical
-fp64 weights and identical data, across 27 recipes (21 here + 6 BN-model
+fp64 weights and identical data, across 28 recipes (22 here + 6 BN-model
 recipes below) spanning the full-batch, stochastic, and semi-stochastic
 modes, the gradient regularizer, the whole optimizer zoo
 (AdamW, Wolfe/restarting/non-monotone line searches, SAM, L-BFGS, FISTA,
@@ -290,6 +290,54 @@ def _fix_ref_restarting():
         cls._defaults_patched = True
 
 
+def _inject_ref_grad_noise(monkeypatch, leaf_shapes, additive, multiplicative):
+    """Make the reference's torch.randn_like draws equal OUR jitted draws.
+
+    Our modifiers draw per-leaf fp64 normals from
+    split(fold_in(step_key, 1|2), n_leaves) with step_key =
+    fold_in(key(seed), step) (training/training.py:665-675, :692-694);
+    the reference draws from torch's global generator
+    (reference training.py:213-215), so the two streams can never coincide
+    naturally. Replaying OUR draws through torch.randn_like — mapped to
+    parameters() order and the OIHW/(out,in) torch layouts — removes the
+    only non-deterministic difference: scale, the additive-then-
+    multiplicative ordering, and the application to the averaged gradient
+    all remain the reference's own code path, which the trajectory then
+    checks at fp64."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    # torch parameters() order -> (our tree.leaves index, jax->torch perm):
+    # c1.weight, c1.bias, c2.weight, c2.bias, linear.weight, linear.bias vs
+    # alphabetical leaves c1.bias, c1.kernel, c2.bias, c2.kernel,
+    # linear.bias, linear.kernel
+    torch_order = [(1, (3, 2, 0, 1)), (0, None), (3, (3, 2, 0, 1)),
+                   (2, None), (5, (1, 0)), (4, None)]
+    folds = [f for f, v in ((1, additive), (2, multiplicative)) if v is not None]
+    state = {"count": 0}
+
+    def fake_randn_like(p, *args, **kwargs):
+        i, per_step = state["count"], len(folds) * len(torch_order)
+        state["count"] = i + 1
+        step, j = divmod(i, per_step)
+        fold = folds[j // len(torch_order)]
+        leaf_idx, perm = torch_order[j % len(torch_order)]
+        with jax.enable_x64(True):
+            step_key = jax.random.fold_in(jax.random.key(0), step)
+            keys = jax.random.split(jax.random.fold_in(step_key, fold),
+                                    len(torch_order))
+            noise = np.asarray(jax.random.normal(
+                keys[leaf_idx], leaf_shapes[leaf_idx], jnp.float64))
+        if perm is not None:
+            noise = noise.transpose(perm)
+        assert tuple(noise.shape) == tuple(p.shape), (noise.shape, tuple(p.shape))
+        return torch.tensor(noise, dtype=p.dtype)
+
+    monkeypatch.setattr(torch, "randn_like", fake_randn_like)
+    return state
+
+
 def _load_reference_subset_loader():
     """Load the REAL construct_subset_dataloader (data_preparation.py:89-112)
     for the semi-stochastic recipe.
@@ -423,13 +471,16 @@ RECIPES = {
     "smooth-incorrect": (["hyp=fb1", "hyp.scheduler=cosine-decay",
                           "hyp.label_smoothing=0.1",
                           "hyp.loss_modification=incorrect-xent"], "full"),
+    # both gradient-noise modifiers, with OUR threefry draws replayed
+    # through the reference's torch.randn_like (_inject_ref_grad_noise) so
+    # the ordering/scale/application semantics are checked at fp64
+    "noise": (["hyp=fb1", "hyp.scheduler=cosine-decay",
+               "hyp.grad_noise.additive=0.01",
+               "hyp.grad_noise.multiplicative=0.05"], "full"),
 }
-# Deliberately NOT oracle recipes: hyp.grad_noise (torch.randn_like vs JAX
-# threefry draw different random streams, so trajectories cannot coincide —
-# scale/mean/freshness/ordering are unit-tested in
-# test_training.py::test_grad_noise_modifiers) and batch-maxup (needs the
-# reference's maxup DATA duplication pipeline; the MaxupLoss itself is
-# oracle-tested against the reference module in
+# Deliberately NOT an oracle recipe: batch-maxup (needs the reference's
+# maxup DATA duplication pipeline; the MaxupLoss itself is oracle-tested
+# against the reference module in
 # test_gradreg_oracle.py::test_losses_match_reference_oracle).
 
 
@@ -501,7 +552,8 @@ def test_reference_lars_is_a_noop_ours_is_not(config_dir,
 
 @pytest.mark.parametrize("recipe", list(RECIPES))
 def test_train_trajectory_matches_reference(recipe, config_dir, tmp_path,
-                                            _torch19_foreach_shim, capsys):
+                                            _torch19_foreach_shim, capsys,
+                                            monkeypatch):
     import jax
 
     from fullbatchtraining_tpu.config import load_config
@@ -547,6 +599,11 @@ def test_train_trajectory_matches_reference(recipe, config_dir, tmp_path,
         _fix_ref_restarting()
     if recipe in ("clipping", "clipping1"):
         _fix_ref_adaptive_clipping()
+    noise_calls = None
+    if recipe == "noise":
+        noise_calls = _inject_ref_grad_noise(
+            monkeypatch, [np.asarray(l).shape for l in jax.tree.leaves(params0)],
+            additive=0.01, multiplicative=0.05)
     tmodel = _torch_model(params0, bundle.classes)
     if semi:
         # the reference trains on the FLAT N x store; its own
@@ -570,6 +627,10 @@ def test_train_trajectory_matches_reference(recipe, config_dir, tmp_path,
         # the reference code cannot reach)
         reftrain.clipped_batches = 0
     ref_stats = reftrain.train(tmodel, trainloader, validloader, setup, cfg)
+    if recipe == "noise":
+        # the injection must actually have fed every draw: 2 modifiers x
+        # 6 params x steps (a silent no-noise run would pass trivially)
+        assert noise_calls["count"] == 2 * 6 * steps, noise_calls
     if recipe == "batchclip":
         # SOME but not ALL chunks clipped each step (this repo's true
         # per-step count; 8 chunks per step at this layout)
