@@ -3,7 +3,7 @@
 Drives the reference training loop (/root/reference/fullbatch/training/
 training.py:train, imported read-only with stub sibling packages and
 torch-1.9 shims) for several steps on a tiny no-BN convnet with identical
-fp64 weights and identical data, across 28 recipes (22 here + 6 BN-model
+fp64 weights and identical data, across 29 recipes (23 here + 6 BN-model
 recipes below) spanning the full-batch, stochastic, and semi-stochastic
 modes, the gradient regularizer, the whole optimizer zoo
 (AdamW, Wolfe/restarting/non-monotone line searches, SAM, L-BFGS, FISTA,
@@ -477,11 +477,23 @@ RECIPES = {
     "noise": (["hyp=fb1", "hyp.scheduler=cosine-decay",
                "hyp.grad_noise.additive=0.01",
                "hyp.grad_noise.multiplicative=0.05"], "full"),
+    # maxup over groups of 10 (reference MaxupLoss hardcodes ntrials=10
+    # whatever is passed — modules.py:127 — so only maxup-10 can coincide
+    # with our bug-fixed ntrials handling; 'batch-maxup' cannot, since ours
+    # honors ntrials=batch_size while the reference silently uses 10).
+    # The loss is a max over consecutive groups of 10, well-defined on
+    # plain (non-duplicated) data; third element resizes so every train
+    # chunk (sub_batch 10) and valid batch (valid split = size//5 = 20) is
+    # divisible by ntrials on both sides.
+    # (label_smoothing=null: the reference refuses smoothing+maxup,
+    # training.py:400, and fb1's default 0.0 is not its None sentinel)
+    "maxup": (["hyp=fb1", "hyp.scheduler=cosine-decay",
+               "hyp.loss_modification=maxup-10",
+               "hyp.label_smoothing=null"], "full",
+              ["data.size=100", "data.batch_size=20", "hyp.sub_batch=10"]),
 }
-# Deliberately NOT an oracle recipe: batch-maxup (needs the reference's
-# maxup DATA duplication pipeline; the MaxupLoss itself is oracle-tested
-# against the reference module in
-# test_gradreg_oracle.py::test_losses_match_reference_oracle).
+# The MaxupLoss module itself is additionally oracle-tested against the
+# reference module in test_gradreg_oracle.py::test_losses_match_reference_oracle.
 
 
 def test_reference_lars_is_a_noop_ours_is_not(config_dir,
@@ -563,7 +575,7 @@ def test_train_trajectory_matches_reference(recipe, config_dir, tmp_path,
     from fullbatchtraining_tpu.training.training import train
 
     steps = 8
-    recipe_overrides, mode = RECIPES[recipe]
+    recipe_overrides, mode, *post = RECIPES[recipe]
     semi = recipe == "semi"
     if semi:
         recipe_overrides = recipe_overrides + [f"data.db.path={tmp_path}/db"]
@@ -575,7 +587,7 @@ def test_train_trajectory_matches_reference(recipe, config_dir, tmp_path,
         "hyp.sub_batch=8", "seed=0", "impl.dtype=float64",
         "impl.accumulation_dtype=float64", "impl.mixed_precision=False",
         "impl.validate_every_nth_step=4", "name=traj",
-    ]
+    ] + (post[0] if post else [])  # recipe-specific shape overrides, last wins
     cfg = load_config(config_dir, overrides=overrides)
 
     with jax.enable_x64(True):
