@@ -148,3 +148,21 @@ def test_pretrained_false_returns_random_init():
                   "resnet152_fbaug_highreg"):
         sig = inspect.signature(getattr(hubconf, entry))
         assert sig.parameters["pretrained"].default is False, entry
+
+
+def test_torch_hub_load_local():
+    """The REAL torch.hub machinery (reference usage: torch.hub.load(repo,
+    entry) — README/hubconf.py) loads this repo's hubconf: entrypoint
+    discovery via torch.hub.list, the declared dependencies check, and a
+    torch.hub.load(source='local') call returning the converted flax pair."""
+    from pathlib import Path
+
+    import torch
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    # (torch.hub.list has no source='local' in this torch — load is the API)
+    for entry in ("resnet18_fbaug_clip", "resnet152_fbaug_highreg"):
+        model, variables = torch.hub.load(repo, entry, source="local",
+                                          trust_repo=True,
+                                          pretrained=False, progress=False)
+        assert "params" in variables and hasattr(model, "apply"), entry
