@@ -188,17 +188,38 @@ def _load_imagefolder(base: Path, pixels: int, cache_tag: str,
         side = int(pixels * 1.15)  # headroom for random crops
         images = np.lib.format.open_memmap(
             img_file, mode="w+", dtype=np.uint8, shape=(len(files), side, side, 3))
-        for i, f in enumerate(files):
-            img = Image.open(f).convert("RGB")
+
+        def decode_pil(path):
+            img = Image.open(path).convert("RGB")
             scale = side / min(img.size)
             img = img.resize((max(side, round(img.width * scale)),
-                              max(side, round(img.height * scale))), Image.BILINEAR)
+                              max(side, round(img.height * scale))),
+                             Image.BILINEAR)
             left = (img.width - side) // 2
             top = (img.height - side) // 2
-            images[i] = np.asarray(img.crop((left, top, left + side, top + side)),
-                                   np.uint8)
-            if i % 50_000 == 0:
-                log.info("Decoded %d/%d %s images", i, len(files), split)
+            return np.asarray(img.crop((left, top, left + side, top + side)),
+                              np.uint8)
+
+        # Native libjpeg engine decodes batches straight into the memmap,
+        # threaded across files (native/fbt_jpeg.cpp); files it declines
+        # (CMYK, corrupt, non-JPEG) fall back to PIL one by one, as does
+        # everything when no toolchain/libjpeg is available.
+        from .native import decode_resize_jpeg_batch
+
+        chunk_size = 512
+        for start in range(0, len(files), chunk_size):
+            chunk = files[start:start + chunk_size]
+            native = decode_resize_jpeg_batch(
+                [f.read_bytes() for f in chunk], side,
+                out=images[start:start + len(chunk)])
+            if native is None:
+                for i, f in enumerate(chunk):
+                    images[start + i] = decode_pil(f)
+            else:
+                for i in np.flatnonzero(~native[1]):
+                    images[start + i] = decode_pil(chunk[i])
+            if start % 51_200 == 0:
+                log.info("Decoded %d/%d %s images", start, len(files), split)
         images.flush()
         np.save(lbl_file, np.asarray(labels, np.int32))
         return images, np.asarray(labels, np.int32)

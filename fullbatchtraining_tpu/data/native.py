@@ -1,8 +1,16 @@
-"""ctypes binding for the native data-baking engine (native/fbt_data.cpp).
+"""ctypes bindings for the native data engines (native/*.cpp).
 
-Builds libfbt_data.so on first use (g++ -O3) and exposes bake_rounds /
-gather_rows. Everything degrades gracefully: if no compiler is available the
-callers fall back to the jitted-JAX baking path.
+Two independent libraries, each built on first use (g++ -O3) and each with a
+pure-Python/JAX fallback so everything degrades gracefully when no compiler
+(or libjpeg) is available:
+
+* ``libfbt_data``  — the N×rounds augmentation baker + row gather
+  (native/fbt_data.cpp).
+* ``libfbt_jpeg``  — batched JPEG decode + PIL-equivalent shorter-side
+  resize + center crop for the ImageFolder/ImageNet cache
+  (native/fbt_jpeg.cpp, links libjpeg); the reference's equivalent is
+  torchvision's PIL ImageFolder under multi-worker DataLoaders
+  (/root/reference/fullbatch/data/data_preparation.py:129-147).
 """
 
 from __future__ import annotations
@@ -16,73 +24,109 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
-_SRC = Path(__file__).resolve().parent.parent.parent / "native" / "fbt_data.cpp"
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _LIB_DIR = Path(__file__).resolve().parent.parent / "_native"
-_LIB = _LIB_DIR / "libfbt_data.so"
-
-_lib = None
-_tried = False
 
 
-def _build() -> bool:
-    """Compile to a pid-unique temp path, then atomically rename under an
-    flock: concurrent first-use processes must never dlopen a half-written
-    .so (g++ truncates its output in place) or compile over a mapped one."""
-    import fcntl
-    import os
+class _NativeLib:
+    """Build-on-first-use loader for one shared library."""
 
-    _LIB_DIR.mkdir(parents=True, exist_ok=True)
-    tmp = _LIB.with_name(f".{_LIB.name}.{os.getpid()}.tmp")
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", str(tmp), str(_SRC)]
-    try:
-        with open(_LIB_DIR / ".build.lock", "w") as lock:
-            fcntl.flock(lock, fcntl.LOCK_EX)
-            try:
-                if (_LIB.exists()
-                        and _LIB.stat().st_mtime >= _SRC.stat().st_mtime):
-                    return True  # another process built it while we waited
-                subprocess.run(cmd, check=True, capture_output=True,
-                               text=True, timeout=120)
-                os.replace(tmp, _LIB)
-                return True
-            finally:
-                fcntl.flock(lock, fcntl.LOCK_UN)
-    except (subprocess.SubprocessError, FileNotFoundError, OSError) as err:
-        tmp.unlink(missing_ok=True)
-        log.warning("Native data engine build failed (%s); using the JAX path.", err)
-        return False
+    def __init__(self, src_name: str, lib_name: str, abi_symbol: str,
+                 extra_flags: tuple[str, ...] = ()):
+        self.src = _NATIVE_DIR / src_name
+        self.lib_path = _LIB_DIR / lib_name
+        self.abi_symbol = abi_symbol
+        self.extra_flags = extra_flags
+        self._lib = None
+        self._tried = False
+
+    def _build(self) -> bool:
+        """Compile to a pid-unique temp path, then atomically rename under an
+        flock: concurrent first-use processes must never dlopen a half-written
+        .so (g++ truncates its output in place) or compile over a mapped one."""
+        import fcntl
+        import os
+
+        _LIB_DIR.mkdir(parents=True, exist_ok=True)
+        tmp = self.lib_path.with_name(f".{self.lib_path.name}.{os.getpid()}.tmp")
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+               "-o", str(tmp), str(self.src), *self.extra_flags]
+        try:
+            with open(_LIB_DIR / f".{self.lib_path.stem}.build.lock", "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                try:
+                    if (self.lib_path.exists()
+                            and self.lib_path.stat().st_mtime
+                            >= self.src.stat().st_mtime):
+                        return True  # another process built it while we waited
+                    subprocess.run(cmd, check=True, capture_output=True,
+                                   text=True, timeout=120)
+                    os.replace(tmp, self.lib_path)
+                    return True
+                finally:
+                    fcntl.flock(lock, fcntl.LOCK_UN)
+        except (subprocess.SubprocessError, FileNotFoundError, OSError) as err:
+            tmp.unlink(missing_ok=True)
+            log.warning("Native engine build failed for %s (%s); "
+                        "using the fallback path.", self.src.name, err)
+            return False
+
+    def get(self, configure) -> ctypes.CDLL | None:
+        """Load (building if needed); ``configure(lib)`` sets arg/restypes."""
+        if self._lib is not None or self._tried:
+            return self._lib
+        self._tried = True
+        stale = (self.src.exists() and self.lib_path.exists()
+                 and self.lib_path.stat().st_mtime < self.src.stat().st_mtime)
+        if not self.lib_path.exists() or stale:
+            if not self.src.exists() or not self._build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(self.lib_path))
+        except OSError as err:
+            log.warning("Native engine load failed for %s (%s).",
+                        self.lib_path.name, err)
+            return None
+        if getattr(lib, self.abi_symbol)() != 1:
+            log.warning("Native engine ABI mismatch for %s; "
+                        "using the fallback path.", self.lib_path.name)
+            return None
+        configure(lib)
+        self._lib = lib
+        return self._lib
+
+
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+
+_data_lib = _NativeLib("fbt_data.cpp", "libfbt_data.so", "fbt_abi_version")
+_jpeg_lib = _NativeLib("fbt_jpeg.cpp", "libfbt_jpeg.so",
+                       "fbt_jpeg_abi_version", ("-ljpeg", "-pthread"))
+
+
+def _configure_data(lib):
+    lib.bake_rounds.argtypes = [_u8p] + [ctypes.c_int64] * 6 + \
+        [ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_uint64, _u8p, _i32p]
+    lib.bake_rounds.restype = None
+    lib.gather_rows.argtypes = [_u8p, _i64p, ctypes.c_int64, ctypes.c_int64, _u8p]
+    lib.gather_rows.restype = None
+
+
+def _configure_jpeg(lib):
+    lib.decode_resize_batch.argtypes = [
+        _u8p, _i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _u8p, _u8p]
+    lib.decode_resize_batch.restype = ctypes.c_int64
 
 
 def get_lib():
-    """Load (building if needed) the native library, or None."""
-    global _lib, _tried
-    if _lib is not None or _tried:
-        return _lib
-    _tried = True
-    stale = (_SRC.exists() and _LIB.exists()
-             and _LIB.stat().st_mtime < _SRC.stat().st_mtime)
-    if not _LIB.exists() or stale:
-        if not _SRC.exists() or not _build():
-            return None
-    try:
-        lib = ctypes.CDLL(str(_LIB))
-    except OSError as err:
-        log.warning("Native data engine load failed (%s).", err)
-        return None
-    if lib.fbt_abi_version() != 1:
-        log.warning("Native data engine ABI mismatch; using the JAX path.")
-        return None
-    u8p = ctypes.POINTER(ctypes.c_uint8)
-    i32p = ctypes.POINTER(ctypes.c_int32)
-    i64p = ctypes.POINTER(ctypes.c_int64)
-    lib.bake_rounds.argtypes = [u8p] + [ctypes.c_int64] * 6 + \
-        [ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_uint64, u8p, i32p]
-    lib.bake_rounds.restype = None
-    lib.gather_rows.argtypes = [u8p, i64p, ctypes.c_int64, ctypes.c_int64, u8p]
-    lib.gather_rows.restype = None
-    _lib = lib
-    return _lib
+    """The baker/gather library, or None (JAX fallback)."""
+    return _data_lib.get(_configure_data)
+
+
+def get_jpeg_lib():
+    """The JPEG decode library, or None (PIL fallback)."""
+    return _jpeg_lib.get(_configure_jpeg)
 
 
 def bake_rounds_native(images: np.ndarray, rounds: int, pad: int, flip_p: float,
@@ -100,11 +144,11 @@ def bake_rounds_native(images: np.ndarray, rounds: int, pad: int, flip_p: float,
         raise ValueError(f"out shape {out.shape} != {(rounds, n, h, w, c)}")
     order = np.empty((rounds, n), np.int32)
     lib.bake_rounds(
-        images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        images.ctypes.data_as(_u8p),
         n, h, w, c, rounds, pad, float(flip_p),
         int(first_round_clean), int(shuffle), np.uint64(seed),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        out.ctypes.data_as(_u8p),
+        order.ctypes.data_as(_i32p))
     return order
 
 
@@ -125,8 +169,43 @@ def gather_rows_native(images: np.ndarray, indices: np.ndarray) -> np.ndarray | 
     if idx.size and (idx.min() < 0 or idx.max() >= len(images)):
         raise IndexError("gather_rows_native: index out of range")
     out = np.empty((len(idx), flat.shape[1]), np.uint8)
-    lib.gather_rows(flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                    idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    lib.gather_rows(flat.ctypes.data_as(_u8p),
+                    idx.ctypes.data_as(_i64p),
                     len(idx), flat.shape[1],
-                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+                    out.ctypes.data_as(_u8p))
     return out.reshape((len(idx),) + images.shape[1:])
+
+
+def decode_resize_jpeg_batch(blobs: list[bytes], side: int,
+                             out: np.ndarray | None = None,
+                             n_threads: int = 0
+                             ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Decode ``blobs`` (JPEG file bytes) to (n, side, side, 3) uint8 rows:
+    shorter-side triangle-filter resize to ``side`` + center crop, matching
+    the PIL loop in datasets._load_imagefolder. Returns (images, ok) where
+    ok[i]=False marks files the caller must decode with PIL (CMYK, corrupt,
+    non-JPEG), or None if the native engine is unavailable."""
+    lib = get_jpeg_lib()
+    if lib is None:
+        return None
+    n = len(blobs)
+    if out is None:
+        out = np.empty((n, side, side, 3), np.uint8)
+    else:
+        _check_u8c(out, "out")
+        if out.shape != (n, side, side, 3):
+            raise ValueError(f"out shape {out.shape} != {(n, side, side, 3)}")
+    ok = np.zeros(n, np.uint8)
+    if n == 0:
+        return out, ok.astype(bool)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum([len(b) for b in blobs], out=offsets[1:])
+    blob = b"".join(blobs)
+    blob_arr = np.frombuffer(blob, np.uint8) if blob else np.zeros(1, np.uint8)
+    lib.decode_resize_batch(
+        blob_arr.ctypes.data_as(_u8p),
+        offsets.ctypes.data_as(_i64p),
+        n, side, int(n_threads),
+        out.ctypes.data_as(_u8p),
+        ok.ctypes.data_as(_u8p))
+    return out, ok.astype(bool)
