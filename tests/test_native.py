@@ -221,3 +221,14 @@ def test_imagefolder_mixed_tree_falls_back_per_file(jpeg_lib, tmp_path):
                                (200, 10, 10), atol=12)
     np.testing.assert_allclose(np.asarray(train[1], np.float32).mean(axis=(0, 1)),
                                (10, 200, 10), atol=12)
+
+
+def test_jpeg_decode_threaded_matches_single(jpeg_lib):
+    """The thread pool partitions files dynamically; output must not depend
+    on thread count (each file writes a disjoint output slot)."""
+    from fullbatchtraining_tpu.data.native import decode_resize_jpeg_batch
+    blobs = [_make_jpeg(24 + i, 20 + i, seed=10 + i) for i in range(12)]
+    one, ok1 = decode_resize_jpeg_batch(blobs, 18, n_threads=1)
+    four, ok4 = decode_resize_jpeg_batch(blobs, 18, n_threads=4)
+    assert ok1.all() and ok4.all()
+    np.testing.assert_array_equal(one, four)
