@@ -17,13 +17,16 @@ This tool measures each of those at the recipe geometry (G=16, B=32) on the
 real chip and races it against an explicit reformulation that bypasses the
 conv emitter entirely:
 
-  patches+GEMM  extract im2col patches ONCE on the folded (G*B) batch
-                (patch extraction is group-independent when strides share),
-                then a single batched dot_general per op:
+  patches+GEMM  extract im2col patches on the folded (G*B) batch (group-
+                independent when strides share), then one batched dot_general
+                per op — patch extraction is INSIDE the timed loop, so its
+                cost is paid per trip exactly like the XLA lowering's:
                   dW_g  = patches_g^T @ dy_g    (M=9Cin, K=B*Ho*Wo, N=Cout)
                   y_g   = patches_g  @ w_g      (M=B*Ho*Wo, K=9Cin, N=Cout)
+                  dX_g  = patches(dy)_g @ w_g^R (M=B*Ho*Wo, K=9Cout, N=Cin)
 
-Reference floor: the same op dense at batch G*B with shared weights.
+Reference floor: the same op dense at batch G*B with shared weights. Each
+GEMM reformulation is asserted numerically equal to its XLA form first.
 
 If XLA's grouped lowering already matches the batched GEMM, the +2.43 s is
 pinned to semantics (the 16 gradient trees must exist); if the GEMM wins,
@@ -61,7 +64,7 @@ def conv(x, w):
 
 
 def patches(x):
-    """im2col: (N,H,W,C) -> (N,H,W,9C); channel-fastest like HWIO reshape."""
+    """im2col: (N,H,W,C) -> (N,H,W,9C); channel-MAJOR (C, kh, kw) order."""
     p = jax.lax.conv_general_dilated_patches(
         x, (3, 3), (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -86,10 +89,21 @@ def timed(fn, *args, trips, reps=4):
     return best
 
 
-def loop(body, x, trips):
+def loop(body, operands, trips):
+    """Time ``body(*operands)`` over ``trips`` sequential loop iterations.
+
+    EVERY operand is perturbed by an iteration- and carry-dependent epsilon so
+    XLA can hoist no operand-derived subcomputation (in particular the im2col
+    patch extraction) out of the loop, and trips stay serially dependent. The
+    epsilon is the dtype's smallest NORMAL (finfo.tiny): a fixed 1e-30 would
+    underflow to zero in float16, turning the perturbation into a
+    constant-foldable no-op and letting invariant loop bodies hoist."""
     def step(i, acc):
-        eps = (acc * 0 + i).astype(x.dtype) * jnp.asarray(1e-30, x.dtype)
-        return acc + body(x * (1 + eps)).astype(jnp.float32).sum()
+        s = acc * 0 + i  # carry-dependent: forces sequential trips
+        perturbed = [a * (1 + s.astype(a.dtype)
+                          * jnp.asarray(jnp.finfo(a.dtype).tiny, a.dtype))
+                     for a in operands]
+        return acc + body(*perturbed).astype(jnp.float32).sum()
     return jax.lax.fori_loop(0, trips, step, jnp.zeros((), jnp.float32))
 
 
@@ -113,53 +127,87 @@ def bench_shape(H, C, dtype, trips):
         t = jax.linear_transpose(lambda xx: conv(xx, w_), z)
         return t(dy_)[0]
 
+    def dw_gemm_body(xi, d):
+        p = patches(xi.reshape(G * B, H, H, C)).reshape(G, B * H * H, 9 * C)
+        dg = d.reshape(G, B * H * H, C)
+        return jax.lax.dot_general(p, dg, (((1,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=dtype)
+
+    def fwd_gemm_body(xi, wi):
+        wmat = jax.vmap(w_for_patches)(wi)  # (G, 9C, C)
+        p = patches(xi.reshape(G * B, H, H, C)).reshape(G, B * H * H, 9 * C)
+        return jax.lax.dot_general(p, wmat, (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=dtype)
+
+    def dx_gemm_body(wi, d):
+        # dX of a stride-1 SAME 3x3 conv = SAME conv of dy with the kernel
+        # flipped spatially and in/out channels swapped. The dy patches are
+        # C-major over Cout, so the matching matrix is (Cout, kh, kw, Cin).
+        wback = jnp.transpose(wi[:, ::-1, ::-1], (0, 4, 1, 2, 3)).reshape(G, 9 * C, C)
+        p = patches(d.reshape(G * B, H, H, C)).reshape(G, B * H * H, 9 * C)
+        return jax.lax.dot_general(p, wback, (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=dtype)
+
     cases = {}
 
     # --- per-chunk dW, shared weights (base-sweep backward) ---
     cases["dW grouped (XLA)"] = (
-        lambda dy_, trips: loop(
-            lambda d: jax.vmap(dw_one)(xg, d), dy_, trips), (dyg,), flops)
-
-    def dw_gemm(dy_, trips):
-        def body(d):
-            p = patches(xd).reshape(G, B * H * H, 9 * C)
-            dg = d.reshape(G, B * H * H, C)
-            return jax.lax.dot_general(
-                p, dg, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=dtype)
-        return loop(body, dy_, trips)
-    cases["dW grouped (patches+GEMM)"] = (dw_gemm, (dyg,), flops)
-
+        lambda x_, dy_, trips: loop(
+            lambda xi, d: jax.vmap(dw_one)(xi, d), (x_, dy_), trips),
+        (xg, dyg), flops)
+    cases["dW grouped (patches+GEMM)"] = (
+        lambda x_, dy_, trips: loop(dw_gemm_body, (x_, dy_), trips),
+        (xg, dyg), flops)
     cases["dW dense (floor)"] = (
-        lambda dy_, trips: loop(
-            lambda d: jax.linear_transpose(
-                lambda ww: conv(xd, ww), w)(d)[0], dy_, trips), (dyd,), flops)
+        lambda x_, dy_, trips: loop(
+            lambda xi, d: jax.linear_transpose(
+                lambda ww: conv(xi, ww), w)(d)[0], (x_, dy_), trips),
+        (xd, dyd), flops)
 
     # --- forward with per-chunk weights (FD re-grad forward) ---
     cases["fwd groupedW (XLA)"] = (
-        lambda x_, trips: loop(
-            lambda xi: jax.vmap(conv)(xi, wg), x_, trips), (xg,), flops)
-
-    def fwd_gemm(x_, trips):
-        wmat = jax.vmap(w_for_patches)(wg)  # (G, 9C, C)
-        def body(xi):
-            p = patches(xi.reshape(G * B, H, H, C)).reshape(G, B * H * H, 9 * C)
-            return jax.lax.dot_general(
-                p, wmat, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=dtype)
-        return loop(body, x_, trips)
-    cases["fwd groupedW (patches+GEMM)"] = (fwd_gemm, (xg,), flops)
-
+        lambda x_, w_, trips: loop(
+            lambda xi, wi: jax.vmap(conv)(xi, wi), (x_, w_), trips),
+        (xg, wg), flops)
+    cases["fwd groupedW (patches+GEMM)"] = (
+        lambda x_, w_, trips: loop(fwd_gemm_body, (x_, w_), trips),
+        (xg, wg), flops)
     cases["fwd dense (floor)"] = (
-        lambda x_, trips: loop(lambda xi: conv(xi, w), x_, trips),
-        (xd,), flops)
+        lambda x_, w_, trips: loop(
+            lambda xi, wi: conv(xi, wi), (x_, w_), trips), (xd, w), flops)
 
     # --- input grads with per-chunk weights (FD re-grad backward) ---
     cases["dX groupedW (XLA)"] = (
-        lambda dy_, trips: loop(
-            lambda d: jax.vmap(dx_one)(wg, d), dy_, trips), (dyg,), flops)
+        lambda w_, dy_, trips: loop(
+            lambda wi, d: jax.vmap(dx_one)(wi, d), (w_, dy_), trips),
+        (wg, dyg), flops)
+    cases["dX groupedW (patches+GEMM)"] = (
+        lambda w_, dy_, trips: loop(dx_gemm_body, (w_, dy_), trips),
+        (wg, dyg), flops)
+    cases["dX dense (floor)"] = (
+        lambda w_, dy_, trips: loop(
+            lambda wi, d: jax.linear_transpose(
+                lambda xx: conv(xx, wi),
+                jnp.zeros((G * B, H, H, C), dtype))(d)[0], (w_, dy_), trips),
+        (w, dyd), flops)
 
-    # --- per-chunk dW with per-chunk weights' upstream: same as shared ---
+    # Self-check: each GEMM reformulation must agree with the XLA lowering
+    # (layouts differ — the GEMM emits C-major matrices — so map back first).
+    tol = 2e-2 if dtype != jnp.float32 else 1e-3
+
+    def _close(a, b, name):
+        a, b = jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)
+        err = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-12))
+        assert err < tol, f"{name} GEMM mismatch: rel err {err:.2e}"
+
+    dw_ref = jax.vmap(dw_one)(xg, dyg)                       # (G,3,3,I,O)
+    dw_new = dw_gemm_body(xg, dyg).reshape(G, C, 3, 3, C)    # (G,I,kh,kw,O)
+    _close(jnp.transpose(dw_new, (0, 2, 3, 1, 4)), dw_ref, "dW")
+    fwd_ref = jax.vmap(conv)(xg, wg)
+    _close(fwd_gemm_body(xg, wg).reshape(G, B, H, H, C), fwd_ref, "fwd")
+    dx_ref = jax.vmap(dx_one)(wg, dyg)
+    _close(dx_gemm_body(wg, dyg).reshape(G, B, H, H, C), dx_ref, "dX")
+
     out = {}
     for name, (fn, args_, fl) in cases.items():
         secs = timed(fn, *args_, trips=trips)
