@@ -176,6 +176,19 @@ def test_hydra_job_logging_override_accepted(config_dir):
     assert cfg.hyp.steps > 0
 
 
+def test_inert_reference_keys_compose(config_dir):
+    """Reference CLI overrides of inert keys must compose, not KeyError
+    (reference config/impl/setup/distributed.yaml:2-8, config/viz/1d.yaml:30-35;
+    round-3 VERDICT weak #2)."""
+    cfg = load_config(config_dir, overrides=[
+        "impl/setup=distributed", "impl.setup.MASTER_PORT=29401",
+        "impl.setup.MASTER_ADDR=10.0.0.1", "impl.setup.strategy=file_system",
+        "viz=1d", "viz.map_size=1e9", "viz.max_readers=64",
+        "viz.readahead=False", "viz.meminit=True", "viz.max_spare_txns=32"])
+    assert cfg.impl.setup.MASTER_PORT == 29401
+    assert cfg.viz.max_readers == 64
+
+
 def test_every_config_key_is_consumed_or_documented_inert(config_dir):
     """Audit: every leaf key in the config tree is either read somewhere in
     the package/entry-point source, or on the explicit inert allowlist below
@@ -211,6 +224,18 @@ def test_every_config_key_is_consumed_or_documented_inert(config_dir):
         # Dead upstream: reference crunch.py:21 hard-codes model.eval() and
         # never reads viz.model_eval (documented in config/viz/{1d,2d}.yaml).
         "viz.model_eval",
+        # LMDB tuning for the reference's surface database (documented in
+        # config/viz/{1d,2d}.yaml): the msgpack+JSONL store has no LMDB.
+        "viz.max_readers",
+        "viz.readahead",
+        "viz.meminit",
+        "viz.max_spare_txns",
+        "viz.map_size",
+        # torch.distributed worker plumbing (documented in
+        # config/impl/setup/*.yaml): jax.distributed uses `url`.
+        "impl.setup.strategy",
+        "impl.setup.MASTER_PORT",
+        "impl.setup.MASTER_ADDR",
         # Recipe label: never read by name (here or upstream); recorded in
         # the run-summary TSV through save_summary's generic hyp flattening.
         "hyp.template_name",
