@@ -2,9 +2,14 @@
 empirical flatness.
 
 Counterpart of /root/reference/fullbatch/analysis/analysis.py:9-108. The
-per-chunk gradient sweep is one jitted shard_map program: lax.scan over
-chunks with a Welford carry, per-device accumulations merged exactly across
-the mesh (the reference sampled only the local DDP shard, analysis.py:64).
+per-chunk gradient sweep is a jitted shard_map segment program (lax.scan over
+chunks with a Welford carry) plus a finalize program that merges the
+per-device accumulations exactly across the mesh (the reference sampled only
+the local DDP shard, analysis.py:64). Epochs above impl.hbm_epoch_max_bytes
+stay host-resident and stream through the segment program with the Welford
+carry threading segment to segment — bitwise equal to the resident sweep and
+working at any dataset scale like the reference's DataLoader walk
+(analysis.py:44-97).
 
 Reference defects fixed per SURVEY.md §7: the SNR and noise-scale log lines
 read stats['grad_SNR']/stats['grad_noise_scale'] right after writing
@@ -23,9 +28,9 @@ from jax.flatten_util import ravel_pytree
 from jax.sharding import PartitionSpec as P
 
 from ..data.augmentations import normalize as normalize_images
-from ..data.pipeline import epoch_layout, layout_epoch
+from ..data.pipeline import epoch_layout, layout_epoch, stream_plan
 from ..models.modules import get_loss_fn
-from ..parallel.mesh import DATA_AXIS, shard_epoch_arrays
+from ..parallel.mesh import DATA_AXIS, shard_epoch_arrays, stream_segments
 from ..training.grad_reg import tree_sqnorm
 from ..training.optimizers import SGDState
 from .directions import perturb2threshold
@@ -34,9 +39,23 @@ from .welford import welford_finalize, welford_init, welford_merge, welford_upda
 log = logging.getLogger(__name__)
 
 
-def _grad_stats_program(model, bundle, mesh, cfg, num_blocks, chunks, sub, n_dev):
+def _grad_stats_programs(model, bundle, mesh, cfg, num_blocks, chunks, sub,
+                         n_dev, params):
+    """Build (init, segment, finalize) programs for the per-chunk sweep.
+
+    ``segment(params, batch_stats, carry, images, labels)`` continues the
+    per-device Welford carry (every leaf device-stacked on axis 0) over one
+    segment of the (blocks, devices, chunks, sub, ...) layout and returns the
+    segment's per-chunk gradient norms, device-stacked; ``finalize(carry)``
+    performs the exact cross-device Welford merge. The resident path is the
+    single-segment call, so streamed and resident statistics are BITWISE
+    equal — the reference runs this sweep at any scale through its DataLoader
+    (analysis.py:44-97)."""
     criterion = get_loss_fn(cfg.hyp, cfg.data.batch_size)
     mean, std = jnp.asarray(bundle.mean), jnp.asarray(bundle.std)
+    flat0 = ravel_pytree(params)[0]
+    acc_dt = jnp.promote_types(flat0.dtype, jnp.float32)
+    dim = flat0.shape[0]
 
     def chunk_grad_vector(params, batch_stats, images, labels):
         def loss_fn(p):
@@ -54,34 +73,47 @@ def _grad_stats_program(model, bundle, mesh, cfg, num_blocks, chunks, sub, n_dev
         grads = jax.grad(loss_fn)(params)
         return ravel_pytree(grads)[0]
 
-    def _local(params, batch_stats, images, labels):
+    def _init():
+        wf = welford_init(dim, acc_dt)
+        return jax.tree.map(lambda x: jnp.broadcast_to(x, (n_dev, *x.shape)), wf)
+
+    from jax.sharding import NamedSharding
+    init = jax.jit(_init, out_shardings=NamedSharding(mesh, P(DATA_AXIS)))
+
+    def _local_segment(params, batch_stats, carry, images, labels):
         images = images[:, 0]
         labels = labels[:, 0]
-        images = images.reshape(num_blocks * chunks, sub, *images.shape[3:])
-        labels = labels.reshape(num_blocks * chunks, sub)
-        flat0 = ravel_pytree(params)[0]
-        acc_dt = jnp.promote_types(flat0.dtype, jnp.float32)
+        images = images.reshape(-1, sub, *images.shape[3:])
+        labels = labels.reshape(-1, sub)
 
-        def body(carry, xs):
-            wf = carry
+        def body(wf, xs):
             vec = chunk_grad_vector(params, batch_stats, xs[0], xs[1])
             return (welford_update(wf, vec.astype(acc_dt)),
                     jnp.linalg.norm(vec).astype(acc_dt))
 
-        wf, norms = jax.lax.scan(body, welford_init(flat0.shape[0], acc_dt),
+        wf, norms = jax.lax.scan(body, jax.tree.map(lambda x: x[0], carry),
                                  (images, labels))
+        return jax.tree.map(lambda x: x[None], wf), norms[None]
+
+    segment = jax.shard_map(
+        _local_segment, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)), check_vma=False)
+    segment = jax.jit(segment, donate_argnums=(2,))
+
+    def _local_finalize(carry):
         # exact cross-device merge
+        wf = jax.tree.map(lambda x: x[0], carry)
         gathered = jax.lax.all_gather(wf, DATA_AXIS)
         merged = jax.tree.map(lambda x: x[0], gathered)
         for i in range(1, n_dev):
             merged = welford_merge(merged, jax.tree.map(lambda x, i=i: x[i], gathered))
-        all_norms = jax.lax.all_gather(norms, DATA_AXIS).reshape(-1)
-        return merged, all_norms
+        return merged
 
-    return jax.jit(jax.shard_map(
-        _local, mesh=mesh,
-        in_specs=(P(), P(), P(None, DATA_AXIS), P(None, DATA_AXIS)),
-        out_specs=(P(), P()), check_vma=False))
+    finalize = jax.jit(jax.shard_map(
+        _local_finalize, mesh=mesh, in_specs=(P(DATA_AXIS),), out_specs=P(),
+        check_vma=False))
+    return init, segment, finalize
 
 
 def analyze(model, bundle, mesh, cfg, fns, state, stats, grads=None):
@@ -121,11 +153,6 @@ def analyze(model, bundle, mesh, cfg, fns, state, stats, grads=None):
                 float(jnp.vdot(g, m) / (jnp.linalg.norm(g) * jnp.linalg.norm(m) + 1e-12))]
 
     if a.compute_gradient_SNR or a.compute_gradient_noise_scale or a.record_gradient_norm_per_batch:
-        if fns.streamed:
-            log.warning("Gradient-SNR analysis stages the FULL epoch in HBM; "
-                        "the training step is in streamed mode because the "
-                        "epoch exceeds impl.hbm_epoch_max_bytes, so this may "
-                        "OOM on large datasets.")
         n_dev = fns.num_devices
         a_chunks = max(int(a.internal_batch_size_chunks), 1)
         sub = max(bundle.batch_size // a_chunks, 1)
@@ -133,10 +160,27 @@ def analyze(model, bundle, mesh, cfg, fns, state, stats, grads=None):
             len(bundle.train), bundle.batch_size, sub, n_dev, dryrun=cfg.dryrun)
         li, ll = layout_epoch(bundle.train.images, bundle.train.labels,
                               num_blocks, chunks, sub, n_dev)
-        images, labels = shard_epoch_arrays(mesh, li, ll)
-        program = _grad_stats_program(model, bundle, mesh, cfg, num_blocks, chunks,
-                                      sub, n_dev)
-        wf, norms = jax.device_get(program(params, state.batch_stats, images, labels))
+        per_img_bytes = li.dtype.itemsize * int(np.prod(li.shape[4:]))
+        streamed, seg_blocks, epoch_bytes = stream_plan(
+            num_blocks, chunks, sub, n_dev, per_img_bytes, cfg.impl)
+        init, segment, finalize = _grad_stats_programs(
+            model, bundle, mesh, cfg, num_blocks, chunks, sub, n_dev, params)
+        carry = init()
+        if streamed:
+            log.info("Analysis epoch (%.1f GB laid out) exceeds "
+                     "impl.hbm_epoch_max_bytes: streaming the per-chunk sweep "
+                     "in %d-block segments (reference analysis.py:44-97).",
+                     epoch_bytes / 2**30, seg_blocks)
+            norm_parts = []
+            for dimgs, dlbls, _ in stream_segments(mesh, li, ll, seg_blocks):
+                carry, gn = segment(params, state.batch_stats, carry, dimgs, dlbls)
+                norm_parts.append(jax.device_get(gn))
+            norms = np.concatenate(norm_parts, axis=1).reshape(-1)
+        else:
+            images, labels = shard_epoch_arrays(mesh, li, ll)
+            carry, gn = segment(params, state.batch_stats, carry, images, labels)
+            norms = np.asarray(jax.device_get(gn)).reshape(-1)
+        wf = jax.device_get(finalize(carry))
         grad_mean, grad_var, grad_std, grad_norm, squared_norm = welford_finalize(wf)
 
         if a.record_gradient_norm_per_batch:

@@ -129,6 +129,28 @@ def epoch_layout(total: int, batch_size: int, sub_batch: int, num_devices: int,
     return num_blocks, batch_size // sub, sub
 
 
+def stream_plan(num_blocks: int, chunks: int, sub: int, num_devices: int,
+                per_item_bytes: int, cfg_impl):
+    """Decide resident-vs-streamed for a laid-out epoch and size the segments.
+
+    Returns ``(streamed, seg_blocks, epoch_bytes)``. An epoch whose laid-out
+    bytes exceed ``impl.hbm_epoch_max_bytes`` stays host-resident and is
+    consumed in segments of ``seg_blocks`` blocks (``impl.stream_segment_blocks``
+    overrides the auto choice of a quarter of the budget). This is the single
+    policy shared by the training step, the gradient-SNR analysis, and the
+    loss-landscape crunch — the TPU-native counterpart of the reference
+    streaming any-size datasets through DataLoader workers
+    (data_preparation.py:68)."""
+    epoch_bytes = num_blocks * num_devices * chunks * sub * per_item_bytes
+    hbm_budget = int(cfg_impl.get("hbm_epoch_max_bytes", 8 << 30))
+    if epoch_bytes <= hbm_budget:
+        return False, num_blocks, epoch_bytes
+    block_bytes = num_devices * chunks * sub * per_item_bytes
+    seg_auto = max(1, (hbm_budget // 4) // max(block_bytes, 1))
+    seg_cfg = int(cfg_impl.get("stream_segment_blocks", 0) or 0)
+    return True, min(num_blocks, seg_cfg or seg_auto), epoch_bytes
+
+
 def layout_epoch(images: np.ndarray, labels: np.ndarray, num_blocks: int,
                  chunks: int, sub: int, num_devices: int):
     """Reshape host arrays to (blocks, devices, chunks, sub, ...) order-preserving.

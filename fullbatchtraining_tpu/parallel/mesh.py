@@ -96,3 +96,24 @@ def shard_epoch_arrays(mesh: Mesh, images: np.ndarray, labels: np.ndarray):
     im = put_global(images, data_sharding(mesh, 1, images.ndim))
     lb = put_global(labels, data_sharding(mesh, 1, labels.ndim))
     return im, lb
+
+
+def stream_segments(mesh: Mesh, host_images: np.ndarray, host_labels: np.ndarray,
+                    seg_blocks: int):
+    """Yield (device_images, device_labels, start_block) per segment of a
+    host-resident (blocks, devices, chunks, sub, ...) layout, with the next
+    segment's device_put prefetched behind the current segment's compute.
+
+    Shared by the streamed training step, the streamed gradient-SNR sweep,
+    and the streamed loss-landscape crunch (the reference walks a DataLoader
+    instead: data_preparation.py:68, analysis.py:44-97, crunch.py:113-136)."""
+    num_blocks = host_images.shape[0]
+    staged_next = shard_epoch_arrays(mesh, host_images[:seg_blocks],
+                                     host_labels[:seg_blocks])
+    for start in range(0, num_blocks, seg_blocks):
+        dimgs, dlbls = staged_next
+        nxt = start + seg_blocks
+        if nxt < num_blocks:
+            staged_next = shard_epoch_arrays(mesh, host_images[nxt:nxt + seg_blocks],
+                                             host_labels[nxt:nxt + seg_blocks])
+        yield dimgs, dlbls, start

@@ -66,9 +66,10 @@ from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..data.augmentations import normalize as normalize_images
-from ..data.pipeline import DataBundle, epoch_layout, layout_epoch
+from ..data.pipeline import DataBundle, epoch_layout, layout_epoch, stream_plan
 from ..models.modules import get_loss_fn
-from ..parallel.mesh import DATA_AXIS, put_global, shard_epoch_arrays
+from ..parallel.mesh import (DATA_AXIS, put_global, shard_epoch_arrays,
+                             stream_segments)
 from .grad_reg import make_grad_regularizer, tree_sqnorm
 from .optimizers import optim_interface
 from .utils import save_checkpoint, load_checkpoint
@@ -174,19 +175,14 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
     # not fit the HBM budget; segments are device_put ahead of the compute.
     per_img_bytes = (int(np.prod(bundle.train.images.shape[1:]))
                      * bundle.train.images.dtype.itemsize)
-    epoch_bytes = num_blocks * n_dev * chunks * sub * per_img_bytes
-    hbm_budget = int(impl.get("hbm_epoch_max_bytes", 8 << 30))
-    streamed = epoch_bytes > hbm_budget
+    streamed, stream_seg_blocks, epoch_bytes = stream_plan(
+        num_blocks, chunks, sub, n_dev, per_img_bytes, impl)
     if streamed:
-        block_bytes = n_dev * chunks * sub * per_img_bytes
-        seg_blocks_auto = max(1, (hbm_budget // 4) // max(block_bytes, 1))
-        seg_blocks_cfg = int(impl.get("stream_segment_blocks", 0) or 0)
-        stream_seg_blocks = min(num_blocks, seg_blocks_cfg or seg_blocks_auto)
         log.info("Epoch (%.1f GB laid out) exceeds impl.hbm_epoch_max_bytes "
                  "(%.1f GB): streamed accumulation in segments of %d blocks.",
-                 epoch_bytes / 2**30, hbm_budget / 2**30, stream_seg_blocks)
-    else:
-        stream_seg_blocks = num_blocks
+                 epoch_bytes / 2**30,
+                 int(impl.get("hbm_epoch_max_bytes", 8 << 30)) / 2**30,
+                 stream_seg_blocks)
 
     bn_momentum = float(impl.get("bn_momentum", _BN_MOMENTUM))
     bn_decay = None
@@ -602,19 +598,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
     seg_blocks = stream_seg_blocks
 
     def _stream_segments(host_images, host_labels):
-        """Yield (device_images, device_labels, start_block) per segment with
-        the next segment's device_put prefetched behind the compute."""
-        staged_next = shard_epoch_arrays(mesh, host_images[:seg_blocks],
-                                         host_labels[:seg_blocks])
-        for start in range(0, num_blocks, seg_blocks):
-            dimgs, dlbls = staged_next
-            nxt = start + seg_blocks
-            if nxt < num_blocks:
-                # Prefetch the next segment while this one computes.
-                staged_next = shard_epoch_arrays(
-                    mesh, host_images[nxt:nxt + seg_blocks],
-                    host_labels[nxt:nxt + seg_blocks])
-            yield dimgs, dlbls, start
+        return stream_segments(mesh, host_images, host_labels, seg_blocks)
 
     def streamed_gradient(state: TrainState, host_images, host_labels):
         """One full-batch gradient via per-segment programs over host-resident

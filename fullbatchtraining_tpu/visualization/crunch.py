@@ -8,6 +8,15 @@ into a leading axis and the forward (and optional per-block gradient for the
 full-loss penalty term) is vmapped over it inside the sharded scan - the
 marquee vmap win of SURVEY.md §2 #34. Resume uses the JSONL results store.
 
+Any-scale datasets: when the laid-out epoch exceeds impl.hbm_epoch_max_bytes
+it stays host-resident and streams through per-segment programs whose
+per-position sum carry threads segment to segment — the same stream_plan /
+stream_segments machinery as the streamed training step, matching the
+reference's _accumulate_full_loss walking the DataLoader per grid position
+(crunch.py:113-136). The resident path is the single-segment special case of
+the same programs, so streamed and resident surfaces are BITWISE equal (the
+scan's carry init is the running sum, preserving addition order).
+
 Mirrored semantics: filter-normalized random directions with the 'biasbn'
 rule, full_loss = mean loss + 0.5*wd*||p||^2 + (lr/4 * block_strength) *
 mean block grad-norm^2 when compute_full_loss and gradreg are active
@@ -27,9 +36,10 @@ from jax.sharding import PartitionSpec as P
 
 from ..analysis.directions import create_random_direction, set_parameter_offset
 from ..data.augmentations import normalize as normalize_images
-from ..data.pipeline import epoch_layout, layout_epoch
+from ..data.pipeline import epoch_layout, layout_epoch, stream_plan
 from ..models.modules import get_loss_fn
-from ..parallel.mesh import DATA_AXIS, shard_epoch_arrays
+from ..parallel.mesh import (DATA_AXIS, data_sharding, put_global,
+                             shard_epoch_arrays, stream_segments)
 from ..training.grad_reg import tree_sqnorm
 from ..training.optimizers import make_lr_schedule
 from .database import SurfaceStore, surface_path
@@ -37,8 +47,16 @@ from .database import SurfaceStore, surface_path
 log = logging.getLogger(__name__)
 
 
-def make_surface_program(model, bundle, mesh, cfg, num_blocks, chunks, sub,
-                         compute_grads: bool):
+def make_surface_programs(model, bundle, mesh, cfg, chunks, sub,
+                          compute_grads: bool):
+    """Build (segment, finalize) programs for the surface sweep.
+
+    ``segment(stacked_params, batch_stats, carry, images, labels)`` continues
+    the per-device (n_dev, 3, G) sum carry over one segment of the
+    (blocks, devices, chunks, sub, ...) layout; ``finalize(carry)`` performs
+    the single psum and returns the replicated (3, G) package. The resident
+    path is the single-segment call; the scan's carry init is the incoming
+    running sum, so any segmentation yields bitwise-identical sums."""
     criterion = get_loss_fn(cfg.hyp, cfg.data.batch_size)
     mean, std = jnp.asarray(bundle.mean), jnp.asarray(bundle.std)
 
@@ -60,31 +78,42 @@ def make_surface_program(model, bundle, mesh, cfg, num_blocks, chunks, sub,
         loss, correct = loss_fn(params)
         return loss, correct, jnp.zeros(())
 
-    def _local(stacked_params, batch_stats, images, labels):
+    def _local_segment(stacked_params, batch_stats, carry, images, labels):
         images = images[:, 0]
         labels = labels[:, 0]
-        flat_imgs = images.reshape(num_blocks, chunks * sub, *images.shape[3:])
-        flat_lbls = labels.reshape(num_blocks, chunks * sub)
+        seg_blocks = images.shape[0]
+        flat_imgs = images.reshape(seg_blocks, chunks * sub, *images.shape[3:])
+        flat_lbls = labels.reshape(seg_blocks, chunks * sub)
+        sums = carry[0]  # local view: (3, G)
 
-        def per_position(params):
-            def body(carry, xs):
-                loss_sum, correct_sum, gn_sum = carry
+        def per_position(params, c0):
+            def body(c, xs):
+                loss_sum, correct_sum, gn_sum = c
                 loss, correct, gn = block_metrics(params, batch_stats, xs[0], xs[1])
                 return (loss_sum + loss, correct_sum + correct, gn_sum + gn), None
 
             (loss_sum, correct_sum, gn_sum), _ = jax.lax.scan(
-                body, (jnp.zeros(()), jnp.zeros(()), jnp.zeros(())),
-                (flat_imgs, flat_lbls))
+                body, (c0[0], c0[1], c0[2]), (flat_imgs, flat_lbls))
             return loss_sum, correct_sum, gn_sum
 
-        loss_sums, correct_sums, gn_sums = jax.vmap(per_position)(stacked_params)
-        package = jax.lax.psum(jnp.stack([loss_sums, correct_sums, gn_sums]), DATA_AXIS)
-        return package  # (3, G)
+        loss_sums, correct_sums, gn_sums = jax.vmap(
+            per_position, in_axes=(0, 1))(stacked_params, sums)
+        return jnp.stack([loss_sums, correct_sums, gn_sums])[None]
 
-    return jax.jit(jax.shard_map(
-        _local, mesh=mesh,
-        in_specs=(P(), P(), P(None, DATA_AXIS), P(None, DATA_AXIS)),
-        out_specs=P(), check_vma=False))
+    segment = jax.shard_map(
+        _local_segment, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        out_specs=P(DATA_AXIS), check_vma=False)
+    if cfg.impl.jit:
+        segment = jax.jit(segment, donate_argnums=(2,))
+
+    def _local_finalize(carry):
+        return jax.lax.psum(carry[0], DATA_AXIS)
+
+    finalize = jax.jit(jax.shard_map(
+        _local_finalize, mesh=mesh, in_specs=(P(DATA_AXIS),), out_specs=P(),
+        check_vma=False))
+    return segment, finalize
 
 
 def crunch(model, bundle, mesh, cfg, fns, state, stats=None):
@@ -156,14 +185,24 @@ def crunch(model, bundle, mesh, cfg, fns, state, stats=None):
                                            bundle.batch_size, n_dev, dryrun=cfg.dryrun)
     li, ll = layout_epoch(bundle.train.images, bundle.train.labels,
                           num_blocks, chunks, sub, n_dev)
-    images, labels = shard_epoch_arrays(mesh, li, ll)
-    program = make_surface_program(model, bundle, mesh, cfg, num_blocks, chunks, sub,
-                                   compute_grads)
+    per_img_bytes = li.dtype.itemsize * int(np.prod(li.shape[4:]))
+    streamed, seg_blocks, epoch_bytes = stream_plan(
+        num_blocks, chunks, sub, n_dev, per_img_bytes, cfg.impl)
+    if streamed:
+        log.info("Surface epoch (%.1f GB laid out) exceeds "
+                 "impl.hbm_epoch_max_bytes: streaming %d-block segments per "
+                 "position group (reference walks the DataLoader per position,"
+                 " crunch.py:113-136).", epoch_bytes / 2**30, seg_blocks)
+    else:
+        images, labels = shard_epoch_arrays(mesh, li, ll)
+    segment, finalize = make_surface_programs(model, bundle, mesh, cfg,
+                                              chunks, sub, compute_grads)
 
     weight_decay = float(cfg.hyp.optim.get("weight_decay", 0.0) or 0.0)
     lr = float(make_lr_schedule(cfg.hyp)(int(state.step)))
 
     group = max(int(viz.get("vmap_positions", 8)), 1)
+    carry_sh = data_sharding(mesh, 0, 3)
     datapoints = num_blocks * chunks * sub * n_dev
     for start in range(0, len(todo), group):
         batch_positions = todo[start:start + group]
@@ -176,7 +215,13 @@ def crunch(model, bundle, mesh, cfg, fns, state, stats=None):
         stacked = jax.tree.map(
             lambda *leaves: jnp.stack(leaves),
             *[set_parameter_offset(params, dx, x, dy, y) for x, y in eval_positions])
-        package = jax.device_get(program(stacked, state.batch_stats, images, labels))
+        carry = put_global(np.zeros((n_dev, 3, group), np.float32), carry_sh)
+        if streamed:
+            for dimgs, dlbls, _ in stream_segments(mesh, li, ll, seg_blocks):
+                carry = segment(stacked, state.batch_stats, carry, dimgs, dlbls)
+        else:
+            carry = segment(stacked, state.batch_stats, carry, images, labels)
+        package = jax.device_get(finalize(carry))
 
         for idx, position in enumerate(batch_positions):
             loss_sum, correct_sum, gn_sum = package[:, idx]

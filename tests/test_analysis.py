@@ -94,6 +94,43 @@ def test_full_analyze_pass(config_dir):
     assert "analysis_grad_norm_0" in stats  # per-batch norms recorded
 
 
+def test_analysis_streamed_equals_resident(config_dir):
+    """Forcing a 1-byte HBM budget streams the per-chunk gradient sweep in
+    1-block segments; the Welford carry threads segment to segment, so every
+    SNR / noise-scale / per-batch-norm statistic is BITWISE equal to the
+    resident sweep (any-scale analysis, reference analysis.py:44-97)."""
+    from fullbatchtraining_tpu.analysis.analysis import analyze
+    from fullbatchtraining_tpu.models import initialize_model
+    from fullbatchtraining_tpu.training.training import make_train_functions
+
+    base = ["model=linear", "data.size=128", "data.path=/tmp/__none__",
+            "data.batch_size=4", "hyp.sub_batch=4", "hyp=fb1", "hyp.warmup=0",
+            "seed=0", "analysis=full", "analysis.compute_gradient_SNR=True",
+            "analysis.compute_gradient_noise_scale=True",
+            "analysis.measure_param_norm=False",
+            "analysis.measure_grad_norm=False", "analysis.check_momentum=False"]
+
+    def run(extra):
+        cfg = load_config(config_dir, overrides=base + extra)
+        mesh = make_mesh(cfg.impl.setup)
+        bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+        model = construct_model(cfg.model, bundle.channels, bundle.classes)
+        fns = make_train_functions(model, bundle, mesh, cfg)
+        variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                     bundle.channels)
+        state = fns.init_state(variables)
+        return fns, analyze(model, bundle, mesh, cfg, fns, state,
+                            defaultdict(list))
+
+    _, resident = run([])
+    fns_s, streamed = run(["impl.hbm_epoch_max_bytes=1"])
+    assert fns_s.streamed  # the forced budget must actually engage streaming
+    assert resident.keys() == streamed.keys()
+    assert any(k.startswith("analysis_grad_norm_") for k in resident)
+    for key in resident:
+        assert resident[key] == streamed[key], key
+
+
 def test_flatness(config_dir):
     cfg = load_config(config_dir, overrides=[
         "model=linear", "data.size=64", "data.path=/tmp/__none__",

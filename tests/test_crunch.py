@@ -113,6 +113,30 @@ def test_plot_2d_contour(config_dir, tmp_path):
     assert np.isfinite(landscape["train_loss"]).all()
 
 
+def test_crunch_streamed_equals_resident(config_dir, tmp_path):
+    """Forcing a 1-byte HBM budget streams the surface sweep in 1-block
+    segments; the carry-threaded scan init preserves addition order, so the
+    streamed surface is BITWISE equal to the resident one (any-scale crunch,
+    reference crunch.py:113-136)."""
+    extra = ["data.size=128", "data.batch_size=4", "hyp.sub_batch=4",
+             "hyp.grad_reg.block_strength=0.5"]  # cover the gn-sum stream too
+    (tmp_path / "res").mkdir()
+    (tmp_path / "str").mkdir()
+    cfg, mesh, bundle, model, fns, state = _setup(
+        config_dir, tmp_path / "res", extra=extra)
+    store_r, positions = crunch(model, bundle, mesh, cfg, fns, state)
+    cfg2, mesh2, bundle2, model2, fns2, state2 = _setup(
+        config_dir, tmp_path / "str",
+        extra=extra + ["impl.hbm_epoch_max_bytes=1"])
+    assert fns2.streamed  # the forced budget must actually engage streaming
+    store_s, _ = crunch(model2, bundle2, mesh2, cfg2, fns2, state2)
+    res_r, res_s = store_r.results(), store_s.results()
+    assert res_r.keys() == res_s.keys() and len(res_r) == len(positions)
+    for key in res_r:
+        for field in ("train_loss", "train_acc", "full_loss"):
+            assert res_r[key][field] == res_s[key][field], (key, field)
+
+
 def test_crunch_claims_enable_work_sharing(config_dir, tmp_path):
     """A fresh claim makes other jobs skip the position; results override
     claims; stale claims are retried (reference placeholder rows)."""
