@@ -228,7 +228,8 @@ def _flatness(model, bundle, mesh, cfg, fns, state):
     # Reuse the sharded eval program as the loss oracle over the train set,
     # passed explicitly (no bundle mutation).
     val = stage_validation(bundle, mesh, fns.num_devices, bundle.batch_size,
-                           dryrun=cfg.dryrun, split=bundle.train)
+                           dryrun=cfg.dryrun, split=bundle.train,
+                           cfg_impl=cfg.impl)
 
     def loss_at(params):
         metrics = fns.eval_step(params, state.batch_stats, *val)

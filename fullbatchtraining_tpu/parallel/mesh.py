@@ -99,21 +99,30 @@ def shard_epoch_arrays(mesh: Mesh, images: np.ndarray, labels: np.ndarray):
 
 
 def stream_segments(mesh: Mesh, host_images: np.ndarray, host_labels: np.ndarray,
-                    seg_blocks: int):
-    """Yield (device_images, device_labels, start_block) per segment of a
-    host-resident (blocks, devices, chunks, sub, ...) layout, with the next
-    segment's device_put prefetched behind the current segment's compute.
+                    seg_blocks: int, host_weights: np.ndarray | None = None):
+    """Yield (device_images, device_labels[, device_weights], start_block) per
+    segment of a host-resident (blocks, devices, chunks, sub, ...) layout,
+    with the next segment's device_put prefetched behind the current
+    segment's compute. ``host_weights`` rides along for the padded-eval
+    layout's per-sample weights.
 
     Shared by the streamed training step, the streamed gradient-SNR sweep,
-    and the streamed loss-landscape crunch (the reference walks a DataLoader
-    instead: data_preparation.py:68, analysis.py:44-97, crunch.py:113-136)."""
+    the streamed loss-landscape crunch, and streamed evaluation (the
+    reference walks a DataLoader instead: data_preparation.py:68,
+    analysis.py:44-97, crunch.py:113-136, training.py:343-388)."""
     num_blocks = host_images.shape[0]
-    staged_next = shard_epoch_arrays(mesh, host_images[:seg_blocks],
-                                     host_labels[:seg_blocks])
+
+    def stage(lo, hi):
+        staged = shard_epoch_arrays(mesh, host_images[lo:hi], host_labels[lo:hi])
+        if host_weights is None:
+            return staged
+        w = host_weights[lo:hi]
+        return (*staged, put_global(w, data_sharding(mesh, 1, w.ndim)))
+
+    staged_next = stage(0, seg_blocks)
     for start in range(0, num_blocks, seg_blocks):
-        dimgs, dlbls = staged_next
+        staged = staged_next
         nxt = start + seg_blocks
         if nxt < num_blocks:
-            staged_next = shard_epoch_arrays(mesh, host_images[nxt:nxt + seg_blocks],
-                                             host_labels[nxt:nxt + seg_blocks])
-        yield dimgs, dlbls, start
+            staged_next = stage(nxt, nxt + seg_blocks)
+        yield (*staged, start)

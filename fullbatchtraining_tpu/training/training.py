@@ -925,41 +925,85 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
     # -------------------------------------------------------------------
     # Evaluation (training.py:343-388)
     # -------------------------------------------------------------------
+    def _eval_block(params, batch_stats, imgs, lbls, w):
+        x = bundle.eval_transform(imgs)
+        if bundle.normalize:
+            x = normalize_images(x, mean, std, compute_dtype)
+        else:
+            x = x.astype(compute_dtype) / 255.0
+        logits, _ = forward(params, batch_stats, x, train=False)
+        if hyp.test_time_flips:
+            logits_flip, _ = forward(params, batch_stats, x[:, :, ::-1, :], train=False)
+            outputs = jax.nn.softmax(logits) + jax.nn.softmax(logits_flip)
+        else:
+            outputs = logits
+        losses = -jax.nn.log_softmax(outputs)[jnp.arange(lbls.shape[0]), lbls]
+        loss = (losses * w).sum()
+        correct = (((outputs.argmax(-1) == lbls)).astype(jnp.float32) * w).sum()
+        return jnp.stack([loss, correct, w.sum()]).astype(stat_dtype)
+
+    def _eval_scan(params, batch_stats, sums, images, labels, weights):
+        """Continue (loss, correct, count) sums over these blocks. The carry
+        init is the running sum, so any segmentation of the valid set yields
+        bitwise-identical metrics."""
+        def block_body(c, xs):
+            return c + _eval_block(params, batch_stats, *xs), None
+
+        c, _ = jax.lax.scan(block_body, sums, (images, labels, weights))
+        return c
+
     def _local_eval(params, batch_stats, images, labels, weights):
-        images = images[:, 0]
-        labels = labels[:, 0]
-        weights = weights[:, 0]
-
-        def block_body(_, xs):
-            imgs, lbls, w = xs
-            x = bundle.eval_transform(imgs)
-            if bundle.normalize:
-                x = normalize_images(x, mean, std, compute_dtype)
-            else:
-                x = x.astype(compute_dtype) / 255.0
-            logits, _ = forward(params, batch_stats, x, train=False)
-            if hyp.test_time_flips:
-                logits_flip, _ = forward(params, batch_stats, x[:, :, ::-1, :], train=False)
-                outputs = jax.nn.softmax(logits) + jax.nn.softmax(logits_flip)
-            else:
-                outputs = logits
-            losses = -jax.nn.log_softmax(outputs)[jnp.arange(lbls.shape[0]), lbls]
-            loss = (losses * w).sum()
-            correct = (((outputs.argmax(-1) == lbls)).astype(jnp.float32) * w).sum()
-            return None, (loss, correct, w.sum())
-
-        _, (losses, corrects, counts) = jax.lax.scan(block_body, None,
-                                                     (images, labels, weights))
-        return jax.lax.psum(jnp.stack([losses.sum(), corrects.sum(), counts.sum()]),
-                            DATA_AXIS)
+        c = _eval_scan(params, batch_stats, jnp.zeros((3,), stat_dtype),
+                       images[:, 0], labels[:, 0], weights[:, 0])
+        return jax.lax.psum(c, DATA_AXIS)
 
     sharded_eval = jax.shard_map(
         _local_eval, mesh=mesh,
         in_specs=(P(), P(), data_spec, data_spec, data_spec), out_specs=P(),
         check_vma=False)
 
+    def _local_eval_segment(params, batch_stats, carry, images, labels, weights):
+        c = _eval_scan(params, batch_stats, carry[0],
+                       images[:, 0], labels[:, 0], weights[:, 0])
+        return c[None]
+
+    sharded_eval_segment = jax.shard_map(
+        _local_eval_segment, mesh=mesh,
+        in_specs=(P(), P(), carry_spec, data_spec, data_spec, data_spec),
+        out_specs=carry_spec, check_vma=False)
+
+    def _local_eval_finalize(carry):
+        return jax.lax.psum(carry[0], DATA_AXIS)
+
+    sharded_eval_finalize = jax.shard_map(
+        _local_eval_finalize, mesh=mesh, in_specs=(carry_spec,), out_specs=P(),
+        check_vma=False)
+    if impl.jit:
+        sharded_eval = jax.jit(sharded_eval)
+        sharded_eval_segment = jax.jit(sharded_eval_segment, donate_argnums=(2,))
+        sharded_eval_finalize = jax.jit(sharded_eval_finalize)
+
     def eval_step(params, batch_stats, images, labels, weights):
-        package = sharded_eval(params, batch_stats, images, labels, weights)
+        """Sharded evaluation (training.py:343-388). Accepts either the
+        device-resident staging from stage_validation or — when the padded
+        valid set exceeded impl.hbm_epoch_max_bytes — its host-resident
+        layout, which streams through per-segment programs exactly like the
+        training epoch (bitwise-equal metrics either way)."""
+        if isinstance(images, np.ndarray):
+            from ..parallel.mesh import data_sharding, stream_segments
+            per_item = images.dtype.itemsize * int(np.prod(images.shape[3:]))
+            _, seg_blocks, _ = stream_plan(images.shape[0], 1, images.shape[2],
+                                           n_dev, per_item, impl)
+            carry = put_global(
+                np.zeros((n_dev, 3), np.dtype(stat_dtype)),
+                data_sharding(mesh, 0, 2))
+            for dimgs, dlbls, dw, _ in stream_segments(
+                    mesh, images, labels, seg_blocks, host_weights=weights):
+                carry = sharded_eval_segment(params, batch_stats, carry,
+                                             dimgs, dlbls, dw)
+            package = sharded_eval_finalize(carry)
+        else:
+            package = sharded_eval(params, batch_stats, images, labels, weights)
         return {"valid_loss": package[0] / package[2], "valid_acc": package[1] / package[2]}
 
     # -------------------------------------------------------------------
@@ -1019,7 +1063,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
                    else jit(full_step, donate_argnums=donate)),
         stochastic_step=(stochastic_step_streamed if streamed
                          else jit(stochastic_step, donate_argnums=donate)),
-        eval_step=jit(eval_step),
+        eval_step=eval_step,  # inner programs jitted; wrapper branches on staging
         gradient_eval=(gradient_eval_streamed if streamed
                        else jit(gradient_eval, static_argnames=("with_modifiers",))),
         init_state=init_state,
@@ -1177,12 +1221,16 @@ def stage_epoch(bundle: DataBundle, fns: TrainFunctions, mesh: Mesh, cfg, step: 
 
 
 def stage_validation(bundle: DataBundle, mesh: Mesh, n_dev: int, batch: int,
-                     dryrun: bool = False, split=None):
+                     dryrun: bool = False, split=None, cfg_impl=None):
     """Pad validation data to a devices x blocks grid with per-sample weights.
 
     ``split`` selects an explicit dataset split (default: bundle.valid) so
     callers like analysis flatness can evaluate the train set without
-    mutating the bundle.
+    mutating the bundle. When ``cfg_impl`` is given and the padded layout
+    exceeds ``impl.hbm_epoch_max_bytes``, the arrays stay HOST-resident and
+    ``eval_step`` streams them in segments (reference evaluates through a
+    DataLoader at any scale, training.py:343-388); otherwise they are
+    device-put once and reused every validation.
     """
     split = bundle.valid if split is None else split
     images, labels = split.images, split.labels
@@ -1204,6 +1252,15 @@ def stage_validation(bundle: DataBundle, mesh: Mesh, n_dev: int, batch: int,
     li = images.reshape(blocks, n_dev, batch, *images.shape[1:])
     ll = labels.reshape(blocks, n_dev, batch)
     lw = weights.reshape(blocks, n_dev, batch)
+    if cfg_impl is not None:
+        per_item = li.dtype.itemsize * int(np.prod(li.shape[3:]))
+        streamed, seg_blocks, val_bytes = stream_plan(
+            blocks, 1, batch, n_dev, per_item, cfg_impl)
+        if streamed:
+            log.info("Validation staging (%.1f GB padded) exceeds "
+                     "impl.hbm_epoch_max_bytes: host-resident, streamed in "
+                     "%d-block segments per eval.", val_bytes / 2**30, seg_blocks)
+            return li, ll, lw
     im, lb = shard_epoch_arrays(mesh, li, ll)
     from ..parallel.mesh import data_sharding
     w = put_global(lw, data_sharding(mesh, 1, lw.ndim))
@@ -1254,7 +1311,7 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
 
     cache: dict = {}
     val_data = stage_validation(bundle, mesh, fns.num_devices, bundle.batch_size,
-                                dryrun=cfg.dryrun)
+                                dryrun=cfg.dryrun, cfg_impl=cfg.impl)
     step = start_step
     train_stochastic = cfg.hyp.train_stochastic
     # Profiling hook (SURVEY.md §5: jax.profiler replaces the reference's

@@ -925,3 +925,35 @@ def test_lbfgs_sharded_vectors_match_replicated(config_dir):
     repay = fresh.get_state()
     assert repay["s_hist"][0].shape[0] == n_params
     assert repay["prev_flat_grad"].shape[0] == n_params
+
+
+def test_eval_streamed_equals_resident(config_dir):
+    """stage_validation keeps the padded valid set host-resident above the
+    HBM budget and eval_step streams it in segments; the carry-threaded eval
+    scan makes the streamed metrics BITWISE equal to the resident ones
+    (reference evaluates through a DataLoader at any scale,
+    training.py:343-388)."""
+    from fullbatchtraining_tpu.training.training import stage_validation
+
+    # synthetic valid split is 25 samples -> 2 blocks of 8 devices x batch 2
+    cfg, mesh, bundle, model = _setup(config_dir, ["data.batch_size=2",
+                                                   "hyp.sub_batch=2"])
+    fns = make_train_functions(model, bundle, mesh, cfg)
+    variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                 bundle.channels)
+    state = fns.init_state(variables)
+
+    resident = stage_validation(bundle, mesh, fns.num_devices,
+                                bundle.batch_size, cfg_impl=cfg.impl)
+    assert not isinstance(resident[0], np.ndarray)
+    cfg.impl.hbm_epoch_max_bytes = 1  # force host-resident streamed staging
+    streamed = stage_validation(bundle, mesh, fns.num_devices,
+                                bundle.batch_size, cfg_impl=cfg.impl)
+    assert isinstance(streamed[0], np.ndarray) and streamed[0].shape[0] > 1
+
+    m_res = jax.device_get(fns.eval_step(state.params, state.batch_stats,
+                                         *resident))
+    m_str = jax.device_get(fns.eval_step(state.params, state.batch_stats,
+                                         *streamed))
+    assert float(m_res["valid_loss"]) == float(m_str["valid_loss"])
+    assert float(m_res["valid_acc"]) == float(m_str["valid_acc"])

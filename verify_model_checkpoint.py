@@ -48,7 +48,7 @@ def main():
                                   file=checkpoint_path)
 
     val = stage_validation(bundle, mesh, fns.num_devices, bundle.batch_size,
-                           dryrun=cfg.dryrun)
+                           dryrun=cfg.dryrun, cfg_impl=cfg.impl)
     metrics = jax.device_get(fns.eval_step(state.params, state.batch_stats, *val))
     log.info("Checkpoint step %d: valid_loss %.4f, valid_acc %.2f%%",
              step, metrics["valid_loss"], 100 * metrics["valid_acc"])
