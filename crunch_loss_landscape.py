@@ -16,13 +16,15 @@ CONFIG_DIR = Path(__file__).resolve().parent / "config"
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from fullbatchtraining_tpu.config import load_config  # noqa: E402
-from fullbatchtraining_tpu.utils import job_startup, system_startup  # noqa: E402
+from fullbatchtraining_tpu.utils import hydra_main, job_startup, system_startup  # noqa: E402
 
 
-def main():
-    cfg = load_config(CONFIG_DIR, overrides=sys.argv[1:])
+def main(overrides=None, job_num=None, sweep_stamp=None):
+    cfg = load_config(CONFIG_DIR,
+                      overrides=sys.argv[1:] if overrides is None else overrides)
     checkpoint_dir = Path.cwd() / "checkpoints"
-    cfg = job_startup(cfg, "crunch_loss_landscape")
+    cfg = job_startup(cfg, "crunch_loss_landscape",
+                      job_num=job_num, sweep_stamp=sweep_stamp)
 
     import logging
 
@@ -60,4 +62,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    hydra_main(main)

@@ -23,13 +23,14 @@ reference (``cfg.hyp.grad_reg.block_strength`` etc.).
 from __future__ import annotations
 
 import copy
+import itertools
 import re
 from pathlib import Path
 from typing import Any, Iterable
 
 import yaml
 
-__all__ = ["ConfigNode", "load_config", "to_yaml", "from_dict"]
+__all__ = ["ConfigNode", "load_config", "to_yaml", "from_dict", "expand_multirun"]
 
 
 class ConfigNode(dict):
@@ -200,6 +201,10 @@ def load_config(
             key_overrides.append((mode, key, _parse_value(text)))
 
     cfg = composer.compose_file(config_dir / f"{config_name}.yaml", config_dir)
+    # Hydra strips its own framework node (run/sweep dirs, job.chdir) from the
+    # job config; cfg.yaml keeps the block for file parity, utils.job_startup
+    # implements its semantics natively.
+    cfg.pop("hydra", None)
 
     for mode, key, value in key_overrides:
         _apply_key_override(cfg, mode, key, value)
@@ -241,6 +246,64 @@ def _apply_key_override(cfg: ConfigNode, mode: str, key: str, value: Any) -> Non
         )
     else:
         node[leaf] = from_dict(value)
+
+
+_SWEEP_FLAGS = ("--multirun", "-m")
+
+
+def _split_sweep(text: str) -> list[str]:
+    """Split an override value on top-level commas (Hydra choice sweep).
+
+    Commas nested inside brackets or quotes do not split, so list values
+    like ``key=[a,b]`` stay one choice and ``key=[a,b],[c,d]`` sweeps two.
+    """
+    parts: list[str] = []
+    buf: list[str] = []
+    depth, quote = 0, None
+    for ch in text:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch in "[({":
+            depth += 1
+        elif ch in "])}":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
+def expand_multirun(args: Iterable[str]) -> tuple[bool, list[list[str]]]:
+    """Expand argv into sweep jobs, mirroring Hydra's basic sweeper.
+
+    Returns ``(is_multirun, jobs)``. Without ``--multirun``/``-m`` there is
+    exactly one job holding the overrides unchanged. With it, every override
+    whose value contains top-level commas becomes a choice sweep and jobs are
+    the Cartesian product in argument order with the LAST override varying
+    fastest — the reference's launcher behavior for lines like
+    ``python train_with_gradient_descent.py --multirun hyp=fb1,gradreg seed=0,1``
+    (Hydra 1.x basic sweeper; the reference's own scripts never use it but
+    its README workflow allows it, /root/reference/config/cfg.yaml:23-29
+    configures the sweep dir).
+    """
+    is_multi = any(a in _SWEEP_FLAGS for a in args)
+    overrides = [a for a in args if a not in _SWEEP_FLAGS]
+    if not is_multi:
+        return False, [overrides]
+    choices: list[list[str]] = []
+    for raw in overrides:
+        if "=" in raw and not raw.startswith("~"):
+            key, text = raw.split("=", 1)
+            choices.append([f"{key}={v}" for v in _split_sweep(text)])
+        else:
+            choices.append([raw])
+    return True, [list(combo) for combo in itertools.product(*choices)]
 
 
 _INTERP = re.compile(r"\$\{([a-zA-Z0-9_.]+)\}")

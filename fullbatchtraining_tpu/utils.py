@@ -28,13 +28,21 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
-def job_startup(cfg, script_name: str = "job"):
-    """Finalize config, create + chdir into the run directory, set up logging."""
+def job_startup(cfg, script_name: str = "job", job_num=None, sweep_stamp=None):
+    """Finalize config, create + chdir into the run directory, set up logging.
+
+    Single runs chdir into ``<base_dir>/<date>/<time>`` (the reference's
+    hydra.run.dir, config/cfg.yaml:23-29). Under ``--multirun`` the driver
+    passes the shared ``sweep_stamp`` plus this job's ``job_num`` and runs
+    land in ``<base_dir>/<date>/<time>/<job_num>`` (hydra.sweep.dir + the
+    basic launcher's numbered subdirs)."""
     cfg.original_cwd = os.getcwd()
     if cfg.seed is None:
         cfg.seed = random.SystemRandom().randint(0, 2**31 - 1)
-    now = datetime.datetime.now()
+    now = sweep_stamp or datetime.datetime.now()
     run_dir = (Path(cfg.base_dir) / now.strftime("%Y-%m-%d") / now.strftime("%H-%M-%S.%f"))
+    if job_num is not None:
+        run_dir = run_dir / str(job_num)
     run_dir.mkdir(parents=True, exist_ok=True)
     os.chdir(run_dir)
 
@@ -50,6 +58,33 @@ def job_startup(cfg, script_name: str = "job"):
     np.random.seed(cfg.seed % 2**32)
     random.seed(cfg.seed)
     return cfg
+
+
+def hydra_main(main, argv=None):
+    """Entry-point driver mirroring ``@hydra.main``: one run, or a sweep.
+
+    ``main(overrides, job_num=None, sweep_stamp=None)`` is called once per
+    job. ``--multirun``/``-m`` expands comma choice sweeps via
+    :func:`fullbatchtraining_tpu.config.expand_multirun` and runs the jobs
+    sequentially (Hydra's basic launcher), each under
+    ``<base_dir>/<date>/<time>/<job_num>``, restoring the launch cwd between
+    jobs. A failing job aborts the sweep, as upstream."""
+    from fullbatchtraining_tpu.config import expand_multirun
+
+    is_multi, jobs = expand_multirun(sys.argv[1:] if argv is None else argv)
+    if not is_multi:
+        return main(jobs[0])
+    launch_cwd = os.getcwd()
+    sweep_stamp = datetime.datetime.now()
+    results = []
+    for i, job in enumerate(jobs):
+        print(f"[multirun] launching job #{i} : {' '.join(job)}", flush=True)
+        os.chdir(launch_cwd)
+        try:
+            results.append(main(job, job_num=i, sweep_stamp=sweep_stamp))
+        finally:
+            os.chdir(launch_cwd)
+    return results
 
 
 def _host_fingerprint() -> str:

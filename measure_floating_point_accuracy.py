@@ -18,7 +18,7 @@ CONFIG_DIR = Path(__file__).resolve().parent / "config"
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from fullbatchtraining_tpu.config import load_config  # noqa: E402
-from fullbatchtraining_tpu.utils import job_startup, system_startup  # noqa: E402
+from fullbatchtraining_tpu.utils import hydra_main, job_startup, system_startup  # noqa: E402
 
 
 def measure_implementation_noise(cfg, mesh):
@@ -64,12 +64,13 @@ def measure_implementation_noise(cfg, mesh):
     return results
 
 
-def main():
-    cfg = load_config(CONFIG_DIR, overrides=sys.argv[1:])
-    cfg = job_startup(cfg, "measure_floating_point_accuracy")
+def main(overrides=None, job_num=None, sweep_stamp=None):
+    cfg = load_config(CONFIG_DIR,
+                      overrides=sys.argv[1:] if overrides is None else overrides)
+    cfg = job_startup(cfg, "measure_floating_point_accuracy", job_num=job_num, sweep_stamp=sweep_stamp)
     mesh = system_startup(cfg)
     return measure_implementation_noise(cfg, mesh)
 
 
 if __name__ == "__main__":
-    main()
+    hydra_main(main)

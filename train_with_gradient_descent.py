@@ -20,12 +20,15 @@ CONFIG_DIR = Path(__file__).resolve().parent / "config"
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from fullbatchtraining_tpu.config import load_config, to_yaml  # noqa: E402
-from fullbatchtraining_tpu.utils import job_startup, save_summary, system_startup  # noqa: E402
+from fullbatchtraining_tpu.utils import (  # noqa: E402
+    hydra_main, job_startup, save_summary, system_startup)
 
 
-def main():
-    cfg = load_config(CONFIG_DIR, overrides=sys.argv[1:])
-    cfg = job_startup(cfg, "train_with_gradient_descent")
+def main(overrides=None, job_num=None, sweep_stamp=None):
+    cfg = load_config(CONFIG_DIR,
+                      overrides=sys.argv[1:] if overrides is None else overrides)
+    cfg = job_startup(cfg, "train_with_gradient_descent",
+                      job_num=job_num, sweep_stamp=sweep_stamp)
     import logging
 
     log = logging.getLogger("train")
@@ -52,4 +55,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    hydra_main(main)

@@ -14,16 +14,17 @@ CONFIG_DIR = Path(__file__).resolve().parent / "config"
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from fullbatchtraining_tpu.config import load_config  # noqa: E402
-from fullbatchtraining_tpu.utils import job_startup, system_startup  # noqa: E402
+from fullbatchtraining_tpu.utils import hydra_main, job_startup, system_startup  # noqa: E402
 
 
-def main():
-    cfg = load_config(CONFIG_DIR, overrides=sys.argv[1:])
+def main(overrides=None, job_num=None, sweep_stamp=None):
+    cfg = load_config(CONFIG_DIR,
+                      overrides=sys.argv[1:] if overrides is None else overrides)
     if cfg.impl.checkpoint.name is None:
         raise SystemExit("Set impl.checkpoint.name=<file> to choose a checkpoint.")
     checkpoint_path = (Path(cfg.get("original_cwd", ".")) / "checkpoints"
                        / str(cfg.impl.checkpoint.name)).resolve()
-    cfg = job_startup(cfg, "verify_model_checkpoint")
+    cfg = job_startup(cfg, "verify_model_checkpoint", job_num=job_num, sweep_stamp=sweep_stamp)
 
     import logging
 
@@ -56,4 +57,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    hydra_main(main)
