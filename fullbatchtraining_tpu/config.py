@@ -178,6 +178,7 @@ def load_config(
     composer = _Composer(config_dir)
 
     key_overrides: list[tuple[str, str, Any]] = []  # (mode, key, value)
+    hydra_overrides: dict[str, Any] = {}
     for raw in overrides:
         raw = raw.strip()
         if not raw:
@@ -192,7 +193,14 @@ def load_config(
         key, text = body.split("=", 1)
         key = key.strip()
         if key == "hydra" or key.startswith(("hydra/", "hydra.")):
-            continue  # hydra framework config (job_logging etc.) handled natively
+            # hydra framework config: run/sweep dir + chdir overrides are
+            # honored natively by utils.job_startup via the private _hydra
+            # node (popped there, never part of the job config — see
+            # test_multirun.py); everything else (job_logging, launcher
+            # internals) has no torch/Hydra machinery to configure here.
+            if key in ("hydra.run.dir", "hydra.sweep.dir", "hydra.job.chdir"):
+                hydra_overrides[key.removeprefix("hydra.")] = _parse_value(text)
+            continue
         # Group override? key (with . or / separators) names a directory of options.
         group_rel = "/".join(_GROUP_SEP.split(key))
         if (config_dir / group_rel).is_dir() and mode == "set":
@@ -203,8 +211,11 @@ def load_config(
     cfg = composer.compose_file(config_dir / f"{config_name}.yaml", config_dir)
     # Hydra strips its own framework node (run/sweep dirs, job.chdir) from the
     # job config; cfg.yaml keeps the block for file parity, utils.job_startup
-    # implements its semantics natively.
+    # implements its semantics natively (CLI overrides ride the private
+    # _hydra node, which job_startup pops).
     cfg.pop("hydra", None)
+    if hydra_overrides:
+        cfg["_hydra"] = ConfigNode(hydra_overrides)
 
     for mode, key, value in key_overrides:
         _apply_key_override(cfg, mode, key, value)

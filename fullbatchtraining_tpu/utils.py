@@ -19,6 +19,7 @@ import datetime
 import logging
 import os
 import random
+import re
 import sys
 import time
 from pathlib import Path
@@ -39,15 +40,23 @@ def job_startup(cfg, script_name: str = "job", job_num=None, sweep_stamp=None):
     cfg.original_cwd = os.getcwd()
     if cfg.seed is None:
         cfg.seed = random.SystemRandom().randint(0, 2**31 - 1)
+    hydra = cfg.pop("_hydra", {})  # hydra.run.dir / sweep.dir / job.chdir CLI overrides
     now = sweep_stamp or datetime.datetime.now()
-    run_dir = (Path(cfg.base_dir) / now.strftime("%Y-%m-%d") / now.strftime("%H-%M-%S.%f"))
+    dir_key = "run.dir" if job_num is None else "sweep.dir"
+    if hydra.get(dir_key) is not None:
+        run_dir = Path(_resolve_now(str(hydra[dir_key]), now))
+    else:
+        run_dir = (Path(cfg.base_dir) / now.strftime("%Y-%m-%d")
+                   / now.strftime("%H-%M-%S.%f"))
     if job_num is not None:
         run_dir = run_dir / str(job_num)
+    run_dir = run_dir.resolve()  # log path must survive the chdir below
     run_dir.mkdir(parents=True, exist_ok=True)
-    os.chdir(run_dir)
+    if hydra.get("job.chdir", True):
+        os.chdir(run_dir)
 
     handlers = [logging.StreamHandler(sys.stdout)]
-    handlers.append(logging.FileHandler(f"{script_name}.log"))
+    handlers.append(logging.FileHandler(run_dir / f"{script_name}.log"))
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s: %(message)s",
@@ -58,6 +67,14 @@ def job_startup(cfg, script_name: str = "job", job_num=None, sweep_stamp=None):
     np.random.seed(cfg.seed % 2**32)
     random.seed(cfg.seed)
     return cfg
+
+
+_NOW_PATTERN = re.compile(r"\$\{now:([^}]*)\}")
+
+
+def _resolve_now(pattern: str, now) -> str:
+    """Resolve Hydra's ``${now:%Y-%m-%d}`` resolver in a dir pattern."""
+    return _NOW_PATTERN.sub(lambda m: now.strftime(m.group(1)), pattern)
 
 
 def hydra_main(main, argv=None):

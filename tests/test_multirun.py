@@ -81,6 +81,43 @@ def test_hydra_main_driver_sequences_jobs(tmp_path, monkeypatch):
     assert calls[-1] == (["seed=7"], None) and out is None
 
 
+def test_hydra_run_dir_override(tmp_path, monkeypatch):
+    from fullbatchtraining_tpu.utils import job_startup
+
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config(ROOT / "config",
+                      overrides=["seed=0", "hydra.run.dir=custom/${now:%Y}run"])
+    assert cfg["_hydra"]["run.dir"] == "custom/${now:%Y}run"
+    cfg = job_startup(cfg, "t")
+    assert "_hydra" not in cfg  # popped, like Hydra's stripped node
+    import datetime
+    year = datetime.datetime.now().strftime("%Y")
+    assert Path.cwd() == (tmp_path / f"custom/{year}run").resolve()
+    assert (Path.cwd() / "t.log").exists()
+
+
+def test_hydra_chdir_false_keeps_cwd(tmp_path, monkeypatch):
+    from fullbatchtraining_tpu.utils import job_startup
+
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config(ROOT / "config",
+                      overrides=["seed=0", "hydra.run.dir=stay",
+                                 "hydra.job.chdir=False"])
+    job_startup(cfg, "t")
+    assert Path.cwd() == tmp_path  # no chdir
+    assert (tmp_path / "stay" / "t.log").exists()  # log still in run dir
+
+
+def test_hydra_sweep_dir_override(tmp_path, monkeypatch):
+    from fullbatchtraining_tpu.utils import job_startup
+
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config(ROOT / "config",
+                      overrides=["seed=0", "hydra.sweep.dir=sweep_here"])
+    job_startup(cfg, "t", job_num=3)
+    assert Path.cwd() == (tmp_path / "sweep_here" / "3").resolve()
+
+
 @pytest.mark.slow
 def test_multirun_cli_end_to_end(tmp_path):
     env = dict(os.environ)
