@@ -307,8 +307,17 @@ def max_pool(x, window: int, stride: int, padding: int = 0):
 
 
 def avg_pool(x, window: int, stride: int, padding: int = 0, count_include_pad: bool = True):
+    """torch nn.AvgPool2d semantics incl. count_include_pad=False, where each
+    window divides by the number of REAL (unpadded) elements it covers."""
     if padding and not count_include_pad:
-        raise NotImplementedError
+        dims, strides = (1, window, window, 1), (1, stride, stride, 1)
+        pads = [(0, 0), (padding, padding), (padding, padding), (0, 0)]
+        sums = jax.lax.reduce_window(x, jnp.zeros((), x.dtype), jax.lax.add,
+                                     dims, strides, pads)
+        ones = jnp.ones(x.shape[1:3], x.dtype)  # counts are per-pixel, not per-channel
+        counts = jax.lax.reduce_window(ones, jnp.zeros((), x.dtype), jax.lax.add,
+                                       dims[1:3], strides[1:3], pads[1:3])
+        return sums / counts[None, :, :, None]
     return nn.avg_pool(x, (window, window), strides=(stride, stride),
                        padding=[(padding, padding)] * 2)
 

@@ -137,3 +137,29 @@ def test_maxup_respects_ntrials():
     l2 = maxup_loss(logits, labels, ntrials=2)
     l3 = maxup_loss(logits, labels, ntrials=3)
     assert not np.isclose(float(l2), float(l3))
+
+
+def test_avg_pool_count_include_pad_matches_torch():
+    """count_include_pad=False divides each window by its REAL element count
+    (torch nn.AvgPool2d semantics; no reference model reaches this path, but
+    the layer factory exposes it)."""
+    import torch
+
+    from fullbatchtraining_tpu.models.layers import avg_pool
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 7, 7, 3)).astype(np.float32)
+    for window, stride, padding in [(3, 2, 1), (2, 2, 1), (3, 1, 1)]:
+        ours = avg_pool(jnp.asarray(x), window, stride, padding,
+                        count_include_pad=False)
+        ref = torch.nn.functional.avg_pool2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2), window, stride, padding,
+            count_include_pad=False).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-6, atol=1e-6)
+        # include_pad path unchanged
+        ours_inc = avg_pool(jnp.asarray(x), window, stride, padding)
+        ref_inc = torch.nn.functional.avg_pool2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2), window, stride, padding,
+            count_include_pad=True).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(ours_inc), ref_inc,
+                                   rtol=1e-6, atol=1e-6)
