@@ -209,18 +209,26 @@ def load_config(
             key_overrides.append((mode, key, _parse_value(text)))
 
     cfg = composer.compose_file(config_dir / f"{config_name}.yaml", config_dir)
-    # Hydra strips its own framework node (run/sweep dirs, job.chdir) from the
-    # job config; cfg.yaml keeps the block for file parity, utils.job_startup
-    # implements its semantics natively (CLI overrides ride the private
-    # _hydra node, which job_startup pops).
-    cfg.pop("hydra", None)
-    if hydra_overrides:
-        cfg["_hydra"] = ConfigNode(hydra_overrides)
 
     for mode, key, value in key_overrides:
         _apply_key_override(cfg, mode, key, value)
 
     _resolve_interpolations(cfg, cfg)
+
+    # Hydra strips its own framework node from the job config; its live
+    # settings (run/sweep dir patterns + job.chdir, from the cfg.yaml block
+    # after ${...} interpolation, CLI hydra.* overrides winning) ride the
+    # private _hydra node, which utils.job_startup consumes and pops.
+    hydra_node = cfg.pop("hydra", None) or {}
+    hydra_settings = {}
+    for dotted in ("run.dir", "sweep.dir", "job.chdir"):
+        group, leaf = dotted.split(".")
+        sub = hydra_node.get(group)
+        if isinstance(sub, dict) and sub.get(leaf) is not None:
+            hydra_settings[dotted] = sub[leaf]
+    hydra_settings.update(hydra_overrides)
+    if hydra_settings:
+        cfg["_hydra"] = ConfigNode(hydra_settings)
     return cfg
 
 

@@ -64,12 +64,18 @@ class MdbFile:
     def __init__(self, path: str | Path):
         self.path = Path(path)
         self._fh = open(self.path, "rb")
+        self._mm = None
         try:
-            self._mm = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
-        except ValueError as err:
-            raise CorruptDatabaseError(f"{path}: empty file") from err
-        self.psize = self._detect_psize()
-        self.root, self.entries = self._live_meta()
+            try:
+                self._mm = mmap.mmap(self._fh.fileno(), 0,
+                                     access=mmap.ACCESS_READ)
+            except ValueError as err:
+                raise CorruptDatabaseError(f"{path}: empty file") from err
+            self.psize = self._detect_psize()
+            self.root, self.entries = self._live_meta()
+        except BaseException:
+            self.close()  # don't leak the fd/mapping on invalid files
+            raise
 
     # -- file structure -------------------------------------------------
     def _detect_psize(self) -> int:
@@ -127,7 +133,11 @@ class MdbFile:
             if not self._page_flags(ooff) & P_OVERFLOW:
                 raise CorruptDatabaseError(
                     f"{self.path}: page {ovf} is not an overflow page")
-            return bytes(self._mm[ooff + 16:ooff + 16 + size])
+            dstart = ooff + 16
+        if dstart + size > len(self._mm):  # mmap slicing would clamp at EOF
+            raise CorruptDatabaseError(
+                f"{self.path}: value extent {dstart}+{size} beyond file end "
+                "(truncated database)")
         return bytes(self._mm[dstart:dstart + size])
 
     # -- queries --------------------------------------------------------
@@ -164,8 +174,15 @@ class MdbFile:
         (LMDB leaf pages carry no sibling links)."""
         if self.root == _INVALID_PGNO:
             return
+        # a branch page is popped once per child, a leaf once: in a real tree
+        # total pops = #leaves + #edges < 2 * page count; more means a cycle
+        budget = 2 * (len(self._mm) // self.psize) + 2
         stack = [(self.root, 0)]
         while stack:
+            budget -= 1
+            if budget < 0:  # pointer cycle in a corrupt tree
+                raise CorruptDatabaseError(
+                    f"{self.path}: tree walk exceeded the page count")
             pgno, idx = stack.pop()
             off = self._page(pgno)
             flags = self._page_flags(off)
@@ -187,7 +204,8 @@ class MdbFile:
         return (k for k, _ in self.items())
 
     def close(self):
-        self._mm.close()
+        if self._mm is not None:
+            self._mm.close()
         self._fh.close()
 
     def __enter__(self):

@@ -199,6 +199,73 @@ def test_empty_db_and_corruption(tmp_path):
         MdbFile(bad)
 
 
+def test_truncated_value_raises_instead_of_clamping(tmp_path):
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 256, size=3 * PSIZE + 17, dtype=np.uint8).tobytes()
+    f = tmp_path / "trunc.lmdb"
+    write_mdb(f, {b"hugerow": big})
+    # cut the file mid-overflow-chain: everything must raise, never shorten
+    data = f.read_bytes()
+    f.write_bytes(data[:len(data) - 2 * PSIZE])
+    with MdbFile(f) as db:
+        with pytest.raises(CorruptDatabaseError):
+            db.get(b"hugerow")
+        with pytest.raises(CorruptDatabaseError):
+            dict(db.items())
+
+    # corrupt the recorded value SIZE past the file end: mmap slicing would
+    # silently clamp; the reader must refuse
+    f2 = tmp_path / "badsize.lmdb"
+    write_mdb(f2, {b"k": b"v" * 100})
+    blob = bytearray(f2.read_bytes())
+    with MdbFile(f2) as db:
+        leaf_off = db.root * db.psize
+    node = struct.unpack_from("<H", blob, leaf_off + 16)[0]
+    struct.pack_into("<HH", blob, leaf_off + node, 0xFFFF, 0x00FF)  # lo, hi
+    f2.write_bytes(bytes(blob))
+    with MdbFile(f2) as db:
+        with pytest.raises(CorruptDatabaseError, match="beyond file end"):
+            db.get(b"k")
+
+
+def test_pointer_cycle_raises_in_items(tmp_path):
+    data = {f"{i}".encode(): b"v" * 200 for i in range(64)}  # branch root
+    f = tmp_path / "cycle.lmdb"
+    write_mdb(f, data)
+    blob = bytearray(f.read_bytes())
+    with MdbFile(f) as db:
+        root = db.root
+        psize = db.psize
+    # point the branch root's FIRST child back at the root itself
+    off = root * psize
+    first_node = struct.unpack_from("<H", blob, off + 16)[0]
+    struct.pack_into("<HHH", blob, off + first_node,
+                     root & 0xFFFF, (root >> 16) & 0xFFFF, (root >> 32))
+    f.write_bytes(bytes(blob))
+    with MdbFile(f) as db:
+        with pytest.raises(CorruptDatabaseError, match="page count"):
+            dict(db.items())
+
+
+def test_invalid_file_does_not_leak_handle(tmp_path, monkeypatch):
+    import builtins
+
+    bad = tmp_path / "bad.lmdb"
+    bad.write_bytes(b"\0" * 8192)
+    handles = []
+    real_open = builtins.open
+
+    def spy(path, *a, **kw):
+        fh = real_open(path, *a, **kw)
+        handles.append(fh)
+        return fh
+
+    monkeypatch.setattr(builtins, "open", spy)
+    with pytest.raises(CorruptDatabaseError):
+        MdbFile(bad)
+    assert handles and all(h.closed for h in handles)
+
+
 def _reference_dataset_lmdb(path, images, labels):
     """Craft a database in the reference's dataset format: ascii index keys
     with raw uint8 rows plus pickled metadata

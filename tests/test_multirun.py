@@ -60,6 +60,12 @@ def test_hydra_node_stripped_from_job_config():
     # cfg.yaml carries the reference's hydra block for file parity, but like
     # Hydra the composed job config must not expose it
     assert "hydra" not in cfg
+    # ...and the block is LIVE, not dead config: its dir patterns (with
+    # ${base_dir} interpolated) ride the private _hydra node job_startup uses
+    assert cfg["_hydra"]["run.dir"] == "outputs/${now:%Y-%m-%d}/${now:%H-%M-%S.%f}"
+    assert cfg["_hydra"]["job.chdir"] is True
+    cfg2 = load_config(ROOT / "config", overrides=["base_dir=elsewhere"])
+    assert cfg2["_hydra"]["sweep.dir"].startswith("elsewhere/")
 
 
 def test_hydra_main_driver_sequences_jobs(tmp_path, monkeypatch):

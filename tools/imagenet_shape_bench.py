@@ -97,7 +97,7 @@ def bench_step(args, out):
 
     from fullbatchtraining_tpu.data.pipeline import layout_epoch
     from fullbatchtraining_tpu.parallel.mesh import stream_segments
-    from fullbatchtraining_tpu.training.training import stage_epoch, stage_validation
+    from fullbatchtraining_tpu.training.training import stage_epoch
 
     cfg, mesh, bundle, model, fns, state = build(args)
     assert fns.streamed, "epoch must exceed the forced HBM budget"
@@ -147,10 +147,20 @@ def bench_step(args, out):
           f"({datapoints / step_s:,.0f} img/s) | upload alone {upload_s:.2f} s "
           f"| {total_flops / 1e12:.1f} TFLOP -> {total_flops / step_s / 1e12:.1f} TF/s eff |")
 
-    # streamed eval at the same shape (skippable: the CIFAR stem at 224^2
-    # needs a 12 GB single activation at eval block 512 - nobody runs that)
-    if "eval" in args.skip:
-        return cfg, mesh, bundle, model, fns, state
+    return cfg, mesh, bundle, model, fns, state
+
+
+def bench_eval(args, out, built=None):
+    """Streamed eval at the same shape, independent of the step benchmark.
+
+    (The CIFAR stem at 224^2 needs a 12 GB single activation at eval block
+    512 - nobody runs that; pass --override model.stem=standard.)"""
+    import jax
+    import numpy as np
+
+    from fullbatchtraining_tpu.training.training import stage_validation
+
+    cfg, mesh, bundle, model, fns, state = built or build(args)
     val = stage_validation(bundle, mesh, fns.num_devices, bundle.batch_size,
                            cfg_impl=cfg.impl)
     t0 = time.perf_counter()
@@ -161,7 +171,6 @@ def bench_step(args, out):
                    "valid_acc": float(vm["valid_acc"])}
     print(f"| eval | streamed={out['eval']['streamed']} | {eval_s:.2f} s | "
           f"loss {vm['valid_loss']:.3f} |")
-    return cfg, mesh, bundle, model, fns, state
 
 
 def bench_surface(args, out):
@@ -231,8 +240,11 @@ def main():
     args = ap.parse_args()
 
     out = {"args": vars(args)}
+    built = None
     if "step" not in args.skip:
-        bench_step(args, out)
+        built = bench_step(args, out)
+    if "eval" not in args.skip:
+        bench_eval(args, out, built)
     if "surface" not in args.skip:
         bench_surface(args, out)
     if "analysis" not in args.skip:

@@ -111,7 +111,7 @@ def import_surface(src, out_store) -> int:
 
     store = SurfaceStore(Path(out_store))
     store.results_file.parent.mkdir(parents=True, exist_ok=True)
-    count = 0
+    count = dropped = 0
     with MdbFile(Path(src)) as db:
         for key, value in db.items():
             try:
@@ -125,8 +125,18 @@ def import_surface(src, out_store) -> int:
             try:
                 payload = pickle.loads(value)
             except Exception:
+                # a position key whose VALUE won't decode is data loss, not
+                # an auxiliary blob - never drop it silently
+                print(f"WARNING: dropping position {position}: "
+                      "undecodable payload (truncated/corrupt database?)",
+                      file=sys.stderr)
+                dropped += 1
                 continue
             if not isinstance(payload, dict):
+                print(f"WARNING: dropping position {position}: payload is "
+                      f"{type(payload).__name__}, expected dict",
+                      file=sys.stderr)
+                dropped += 1
                 continue
             values = {}
             for k, v in payload.items():
@@ -136,6 +146,9 @@ def import_surface(src, out_store) -> int:
                     pass
             store.record(position, **values)
             count += 1
+    if dropped:
+        print(f"WARNING: {dropped} position(s) dropped - the imported "
+              "surface is INCOMPLETE", file=sys.stderr)
     return count
 
 
