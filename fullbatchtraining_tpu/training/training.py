@@ -96,7 +96,11 @@ def _resolve_block_grouping(spec, total_chunks: int, sub: int) -> int:
     small-block recipes (e.g. highreg's batch 32) tile onto the MXU instead
     of running hundreds of sequential tiny convolutions. Chunk counts that
     don't divide evenly leave a ragged tail that is accumulated sequentially;
-    1 disables grouping; a bare ``true`` means 'auto'."""
+    1 disables grouping; a bare ``true`` means 'auto'. The 512 target is
+    sized for flagship-depth models: very deep nets under grad_reg double
+    the live activations and can OOM a 16 GB chip at 512 wide — set
+    impl.block_grouping explicitly there (ResNet-152 highreg runs at 4,
+    measured in VALIDATION.md)."""
     if spec is True:
         spec = "auto"
     if spec is None or spec is False or spec in (0, 1):
