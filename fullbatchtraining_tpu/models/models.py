@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from .densenets import DenseNet, densenet_depths_to_config
@@ -208,3 +209,37 @@ def measure_norm_stat_decay(model: nn.Module, sub: int, pixels: int,
     decay, resid = probes(variables["params"], variables["batch_stats"], dummy)
     affine_ok = all(float(r) <= 1e-4 for r in jax.tree.leaves(resid))
     return jax.device_get(decay) if affine_ok else None, affine_ok
+
+
+def estimate_activation_bytes(model: nn.Module, pixels: int, channels: int) -> int:
+    """Per-sample activation bytes of one train-mode forward, estimated.
+
+    Sums every flax module's output during an abstract trace (a batch-2
+    probe via ``jax.eval_shape`` of ``model.init`` with a method
+    interceptor — no compilation or compute, same machinery as
+    :func:`detect_norm_momenta`), divided by the probe batch. Parent
+    modules re-count their last child's output, so this overestimates the
+    VJP residual set somewhat — fine for its consumer, the auto
+    block-grouping HBM cap (``training._resolve_block_grouping``), where
+    only the order of magnitude matters. Dtypes are the model's own compute
+    dtypes, so ``impl.mixed_precision`` halves the estimate naturally.
+    """
+    total = 0
+
+    def interceptor(next_fun, args, kwargs, context):
+        nonlocal total
+        out = next_fun(*args, **kwargs)
+        for leaf in jax.tree.leaves(out):
+            shape = getattr(leaf, "shape", None)
+            dtype = getattr(leaf, "dtype", None)
+            if shape is not None and dtype is not None:
+                total += int(np.prod(shape)) * jnp.dtype(dtype).itemsize
+        return out
+
+    probe_batch = 2
+    dummy = jnp.zeros((probe_batch, pixels, pixels, channels), jnp.float32)
+    keys = jax.random.split(jax.random.key(0), 3)
+    rngs = {"params": keys[0], "stochdepth": keys[1], "dropout": keys[2]}
+    with nn.intercept_methods(interceptor):
+        jax.eval_shape(lambda: model.init(rngs, dummy, train=True))
+    return total // probe_batch

@@ -89,18 +89,24 @@ _DTYPES = {"float": jnp.float32, "float32": jnp.float32, "float64": jnp.float64,
 _BN_MOMENTUM = 0.9
 
 
-def _resolve_block_grouping(spec, total_chunks: int, sub: int) -> int:
+def _resolve_block_grouping(spec, total_chunks: int, sub: int,
+                            act_bytes_per_sample=None,
+                            act_budget=None, double_activations=False) -> int:
     """Chunks per vmapped group in the accumulation scan.
 
     'auto' targets an effective conv batch of ~512 samples (cap 16 chunks) so
     small-block recipes (e.g. highreg's batch 32) tile onto the MXU instead
-    of running hundreds of sequential tiny convolutions. Chunk counts that
+    of running hundreds of sequential tiny convolutions — then shrinks the
+    group so the group's live activations (``act_bytes_per_sample`` from an
+    abstract model trace, doubled under grad_reg's second differentiation
+    pass) fit ``impl.activation_budget_bytes``: a 512-wide gradreg group on
+    ResNet-152 OOMs a 16 GB chip (measured, VALIDATION.md "ResNet-152 +
+    high reg"; auto now degrades it to 1, and an explicit
+    ``impl.block_grouping=4`` is the measured sweet spot there), while
+    ResNet-18 highreg keeps its measured-optimal 16.
+    Explicit integer specs are trusted unchanged. Chunk counts that
     don't divide evenly leave a ragged tail that is accumulated sequentially;
-    1 disables grouping; a bare ``true`` means 'auto'. The 512 target is
-    sized for flagship-depth models: very deep nets under grad_reg double
-    the live activations and can OOM a 16 GB chip at 512 wide — set
-    impl.block_grouping explicitly there (ResNet-152 highreg runs at 4,
-    measured in VALIDATION.md)."""
+    1 disables grouping; a bare ``true`` means 'auto'."""
     if spec is True:
         spec = "auto"
     if spec is None or spec is False or spec in (0, 1):
@@ -108,6 +114,11 @@ def _resolve_block_grouping(spec, total_chunks: int, sub: int) -> int:
     cap = max(1, 512 // max(sub, 1)) if spec == "auto" else int(spec)
     if spec == "auto":
         cap = min(cap, 16)
+        if act_bytes_per_sample:
+            budget = int(act_budget or (9 << 30))
+            per_chunk = max(sub, 1) * int(act_bytes_per_sample)
+            per_chunk *= 2 if double_activations else 1
+            cap = min(cap, max(1, budget // max(per_chunk, 1)))
     return max(1, min(cap, total_chunks))
 
 
@@ -168,8 +179,17 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
     effective_size = bundle.size // bundle.baked.rounds if semi else bundle.size
     num_blocks, chunks, sub = epoch_layout(
         effective_size, bundle.batch_size, hyp.sub_batch, n_dev, dryrun=cfg.dryrun)
+    act_bytes = None
+    if impl.get("block_grouping", "auto") in ("auto", True):
+        from ..models.models import estimate_activation_bytes
+        act_bytes = estimate_activation_bytes(model, bundle.pixels,
+                                              bundle.channels)
+    gradreg_on = bool(hyp.grad_reg.block_strength or hyp.grad_reg.acc_strength)
     group = _resolve_block_grouping(impl.get("block_grouping", "auto"),
-                                    num_blocks * chunks, sub)
+                                    num_blocks * chunks, sub,
+                                    act_bytes_per_sample=act_bytes,
+                                    act_budget=impl.get("activation_budget_bytes"),
+                                    double_activations=gradreg_on)
     if group > 1:
         log.info("Accumulation scan groups %d chunks of %d samples per step "
                  "(vmapped; impl.block_grouping=%s)",

@@ -604,6 +604,51 @@ def test_block_grouping_auto_resolution():
     assert _resolve_block_grouping(None, 100, 32) == 1
 
 
+def test_block_grouping_activation_budget_cap():
+    """Auto grouping shrinks under the activation budget so deep models
+    (ResNet-152 highreg OOM, VALIDATION.md) fit by default; explicit specs
+    and flagship-size estimates are untouched."""
+    from fullbatchtraining_tpu.training.training import _resolve_block_grouping
+
+    mb = 1 << 20
+    # ResNet-18-scale estimate (~8 MB/sample): the 9 GB default keeps 16
+    assert _resolve_block_grouping("auto", 1563, 32,
+                                   act_bytes_per_sample=8 * mb,
+                                   double_activations=True) == 16
+    # ResNet-152-scale (~100 MB/sample) under gradreg: degrades, never OOMs
+    assert _resolve_block_grouping("auto", 1563, 32,
+                                   act_bytes_per_sample=100 * mb,
+                                   double_activations=True) == 1
+    assert _resolve_block_grouping("auto", 1563, 32,
+                                   act_bytes_per_sample=100 * mb) == 2
+    # explicit integers are trusted unchanged (the user's measured override)
+    assert _resolve_block_grouping(4, 1563, 32,
+                                   act_bytes_per_sample=100 * mb,
+                                   double_activations=True) == 4
+    # a custom budget moves the cap
+    assert _resolve_block_grouping("auto", 1563, 32,
+                                   act_bytes_per_sample=100 * mb,
+                                   act_budget=26 << 30,
+                                   double_activations=True) == 4
+
+
+def test_estimate_activation_bytes_orders_models():
+    from pathlib import Path
+
+    from fullbatchtraining_tpu.config import load_config
+    from fullbatchtraining_tpu.models import construct_model
+    from fullbatchtraining_tpu.models.models import estimate_activation_bytes
+
+    repo = Path(__file__).resolve().parent.parent
+    sizes = {}
+    for name in ("resnet18", "resnet152"):
+        cfg = load_config(repo / "config", overrides=[f"model={name}"])
+        model = construct_model(cfg.model, channels=3, classes=10)
+        sizes[name] = estimate_activation_bytes(model, 32, 3)
+    assert sizes["resnet18"] > 1 << 20  # megabytes, not zero
+    assert sizes["resnet152"] > 5 * sizes["resnet18"]  # depth dominates
+
+
 def test_streamed_accumulation_matches_resident(config_dir):
     """Epochs over the HBM budget stream through per-segment programs; the
     accumulated gradient, BN stats, and metrics match the HBM-resident path
