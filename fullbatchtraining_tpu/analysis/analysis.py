@@ -174,12 +174,26 @@ def analyze(model, bundle, mesh, cfg, fns, state, stats, grads=None):
             norm_parts = []
             for dimgs, dlbls, _ in stream_segments(mesh, li, ll, seg_blocks):
                 carry, gn = segment(params, state.batch_stats, carry, dimgs, dlbls)
-                norm_parts.append(jax.device_get(gn))
-            norms = np.concatenate(norm_parts, axis=1).reshape(-1)
+                # keep gn on device: a host fetch here would serialize each
+                # segment's compute against the next segment's staging
+                norm_parts.append(gn)
+            gn = (norm_parts[0] if len(norm_parts) == 1
+                  else jnp.concatenate(norm_parts, axis=1))
         else:
             images, labels = shard_epoch_arrays(mesh, li, ll)
             carry, gn = segment(params, state.batch_stats, carry, images, labels)
-            norms = np.asarray(jax.device_get(gn)).reshape(-1)
+        if jax.process_count() > 1:
+            # segment outputs are device-sharded across hosts; replicate
+            # before fetching (same as training.streamed_gradient)
+            from jax.experimental import multihost_utils
+            gn = multihost_utils.process_allgather(gn, tiled=True)
+        # gn is (devices, blocks*chunks) with blocks-major, chunk-minor rows;
+        # dataset batch order is (block, device, chunk) per layout_epoch —
+        # restore it so analysis_grad_norm_{i} is the i-th dataset batch,
+        # matching the reference's in-order DataLoader walk (analysis.py:44-97)
+        norms = (np.asarray(jax.device_get(gn))
+                 .reshape(n_dev, num_blocks, chunks)
+                 .transpose(1, 0, 2).reshape(-1))
         wf = jax.device_get(finalize(carry))
         grad_mean, grad_var, grad_std, grad_norm, squared_norm = welford_finalize(wf)
 

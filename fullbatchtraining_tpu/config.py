@@ -227,6 +227,12 @@ def load_config(
         if isinstance(sub, dict) and sub.get(leaf) is not None:
             hydra_settings[dotted] = sub[leaf]
     hydra_settings.update(hydra_overrides)
+    # CLI hydra.* values arrive after the tree-wide interpolation pass, so
+    # resolve ${...} references against the composed job config here (Hydra
+    # resolves `hydra.run.dir='${base_dir}/exp'` the same way); ${now:...}
+    # survives untouched — _INTERP rejects ':' — for job_startup to expand.
+    hydra_settings = {k: _resolve_interpolations(v, cfg)
+                      for k, v in hydra_settings.items()}
     if hydra_settings:
         cfg["_hydra"] = ConfigNode(hydra_settings)
     return cfg

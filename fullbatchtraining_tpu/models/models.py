@@ -211,7 +211,8 @@ def measure_norm_stat_decay(model: nn.Module, sub: int, pixels: int,
     return jax.device_get(decay) if affine_ok else None, affine_ok
 
 
-def estimate_activation_bytes(model: nn.Module, pixels: int, channels: int) -> int:
+def estimate_activation_bytes(model: nn.Module, pixels: int, channels: int,
+                              compute_dtype=jnp.float32) -> int:
     """Per-sample activation bytes of one train-mode forward, estimated.
 
     Sums every flax module's output during an abstract trace (a batch-2
@@ -221,19 +222,22 @@ def estimate_activation_bytes(model: nn.Module, pixels: int, channels: int) -> i
     modules re-count their last child's output, so this overestimates the
     VJP residual set somewhat — fine for its consumer, the auto
     block-grouping HBM cap (``training._resolve_block_grouping``), where
-    only the order of magnitude matters. Dtypes are the model's own compute
-    dtypes, so ``impl.mixed_precision`` halves the estimate naturally.
+    only the order of magnitude matters. The models themselves carry no
+    dtype attribute — the training wrapper casts inputs AND params to the
+    compute dtype (``training.forward``) — so the trace runs in float32
+    and every counted element is charged ``compute_dtype``'s itemsize;
+    pass the resolved ``impl.mixed_precision``/``impl.compute_dtype``
+    result so bf16 recipes halve the estimate as they do at runtime.
     """
-    total = 0
+    elems = 0
 
     def interceptor(next_fun, args, kwargs, context):
-        nonlocal total
+        nonlocal elems
         out = next_fun(*args, **kwargs)
         for leaf in jax.tree.leaves(out):
             shape = getattr(leaf, "shape", None)
-            dtype = getattr(leaf, "dtype", None)
-            if shape is not None and dtype is not None:
-                total += int(np.prod(shape)) * jnp.dtype(dtype).itemsize
+            if shape is not None and getattr(leaf, "dtype", None) is not None:
+                elems += int(np.prod(shape))
         return out
 
     probe_batch = 2
@@ -242,4 +246,4 @@ def estimate_activation_bytes(model: nn.Module, pixels: int, channels: int) -> i
     rngs = {"params": keys[0], "stochdepth": keys[1], "dropout": keys[2]}
     with nn.intercept_methods(interceptor):
         jax.eval_shape(lambda: model.init(rngs, dummy, train=True))
-    return total // probe_batch
+    return elems * jnp.dtype(compute_dtype).itemsize // probe_batch

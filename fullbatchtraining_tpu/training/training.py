@@ -180,10 +180,15 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
     num_blocks, chunks, sub = epoch_layout(
         effective_size, bundle.batch_size, hyp.sub_batch, n_dev, dryrun=cfg.dryrun)
     act_bytes = None
-    if impl.get("block_grouping", "auto") in ("auto", True):
+    _group_spec = impl.get("block_grouping", "auto")
+    if _group_spec == "auto" or _group_spec is True:  # NOT `in (...)`: 1 == True
         from ..models.models import estimate_activation_bytes
+        _est_dtype = (_DTYPES[impl.compute_dtype] if impl.compute_dtype
+                      else (jnp.bfloat16 if impl.mixed_precision
+                            else _DTYPES[impl.dtype]))
         act_bytes = estimate_activation_bytes(model, bundle.pixels,
-                                              bundle.channels)
+                                              bundle.channels,
+                                              compute_dtype=_est_dtype)
     gradreg_on = bool(hyp.grad_reg.block_strength or hyp.grad_reg.acc_strength)
     group = _resolve_block_grouping(impl.get("block_grouping", "auto"),
                                     num_blocks * chunks, sub,

@@ -131,6 +131,46 @@ def test_analysis_streamed_equals_resident(config_dir):
         assert resident[key] == streamed[key], key
 
 
+def test_per_batch_norms_in_dataset_order(config_dir):
+    """analysis_grad_norm_{i} must be the i-th DATASET batch on any mesh:
+    the (blocks, devices, chunks) layout is flattened back to dataset order
+    (block-major), not device-major, matching the reference's in-order
+    DataLoader walk (analysis.py:44-97). The single-device run — whose order
+    is trivially correct and oracle-verified — is the yardstick."""
+    from fullbatchtraining_tpu.analysis.analysis import analyze
+    from fullbatchtraining_tpu.models import initialize_model
+    from fullbatchtraining_tpu.training.training import make_train_functions
+
+    base = ["model=linear", "data.size=128", "data.path=/tmp/__none__",
+            "data.batch_size=4", "hyp.sub_batch=4", "hyp=fb1", "hyp.warmup=0",
+            "seed=0", "analysis=full",
+            "analysis.record_gradient_norm_per_batch=True",
+            "analysis.measure_param_norm=False",
+            "analysis.measure_grad_norm=False", "analysis.check_momentum=False"]
+    cfg = load_config(config_dir, overrides=base)
+    bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+    model = construct_model(cfg.model, bundle.channels, bundle.classes)
+    variables = None
+    norms = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(cfg.impl.setup, devices=np.asarray(jax.devices()[:n_dev]))
+        fns = make_train_functions(model, bundle, mesh, cfg)
+        if variables is None:
+            variables = initialize_model(model, jax.random.key(0),
+                                         bundle.pixels, bundle.channels)
+        state = fns.init_state(variables)
+        stats = analyze(model, bundle, mesh, cfg, fns, state, defaultdict(list))
+        keys = sorted((k for k in stats if k.startswith("analysis_grad_norm_")),
+                      key=lambda k: int(k.rsplit("_", 1)[1]))
+        # undo the reference-faithful 1/num_blocks loss scale (num_blocks is
+        # the per-device block count, mesh-dependent exactly as the
+        # reference's DDP per-rank len(dataloader) is — analysis.py:46)
+        num_blocks = 128 // (4 * n_dev)
+        norms[n_dev] = np.asarray([stats[k][-1] for k in keys]) * num_blocks
+    assert len(norms[1]) == len(norms[8]) == 32
+    np.testing.assert_allclose(norms[8], norms[1], rtol=1e-5)
+
+
 def test_flatness(config_dir):
     cfg = load_config(config_dir, overrides=[
         "model=linear", "data.size=64", "data.path=/tmp/__none__",

@@ -102,6 +102,20 @@ def test_hydra_run_dir_override(tmp_path, monkeypatch):
     assert (Path.cwd() / "t.log").exists()
 
 
+def test_hydra_dir_override_interpolates(tmp_path, monkeypatch):
+    """CLI hydra.run.dir values resolve ${...} against the job config (Hydra
+    semantics) instead of mkdir-ing a literal '${base_dir}' directory; the
+    defaults-path resolution (cfg.yaml) is unaffected."""
+    from fullbatchtraining_tpu.utils import job_startup
+
+    monkeypatch.chdir(tmp_path)
+    cfg = load_config(ROOT / "config",
+                      overrides=["seed=0", "hydra.run.dir=${base_dir}/exp1"])
+    assert cfg["_hydra"]["run.dir"] == "outputs/exp1"
+    job_startup(cfg, "t")
+    assert Path.cwd() == (tmp_path / "outputs" / "exp1").resolve()
+
+
 def test_hydra_chdir_false_keeps_cwd(tmp_path, monkeypatch):
     from fullbatchtraining_tpu.utils import job_startup
 

@@ -649,6 +649,51 @@ def test_estimate_activation_bytes_orders_models():
     assert sizes["resnet152"] > 5 * sizes["resnet18"]  # depth dominates
 
 
+def test_estimate_activation_bytes_follows_compute_dtype():
+    """The training wrapper casts inputs AND params to the compute dtype, so
+    a bf16 recipe's activations are half the float32 estimate — the budget
+    cap must be computed for the dtype actually run (models carry none)."""
+    from pathlib import Path
+
+    import jax.numpy as jnp
+
+    from fullbatchtraining_tpu.config import load_config
+    from fullbatchtraining_tpu.models import construct_model
+    from fullbatchtraining_tpu.models.models import estimate_activation_bytes
+
+    repo = Path(__file__).resolve().parent.parent
+    cfg = load_config(repo / "config", overrides=["model=resnet18"])
+    model = construct_model(cfg.model, channels=3, classes=10)
+    f32 = estimate_activation_bytes(model, 32, 3)
+    bf16 = estimate_activation_bytes(model, 32, 3, compute_dtype=jnp.bfloat16)
+    assert bf16 * 2 == f32
+
+
+def test_block_grouping_one_skips_activation_probe(config_dir, monkeypatch):
+    """impl.block_grouping=1 (documented 'disables grouping') must not pay
+    the activation-estimate trace — only 'auto'/True read it. Guarded against
+    Python's 1 == True equality."""
+    import fullbatchtraining_tpu.models.models as mm
+    from fullbatchtraining_tpu.config import load_config
+    from fullbatchtraining_tpu.data import construct_databundle
+    from fullbatchtraining_tpu.models import construct_model
+    from fullbatchtraining_tpu.parallel import make_mesh
+    from fullbatchtraining_tpu.training.training import make_train_functions
+
+    def boom(*a, **k):
+        raise AssertionError("estimate_activation_bytes called for grouping=1")
+
+    monkeypatch.setattr(mm, "estimate_activation_bytes", boom)
+    cfg = load_config(config_dir, overrides=[
+        "model=linear", "data.size=16", "data.path=/tmp/__none__",
+        "data.batch_size=2", "hyp.sub_batch=2", "hyp=fb1", "seed=0",
+        "impl.block_grouping=1"])
+    mesh = make_mesh(cfg.impl.setup)
+    bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+    model = construct_model(cfg.model, bundle.channels, bundle.classes)
+    make_train_functions(model, bundle, mesh, cfg)  # must not raise
+
+
 def test_streamed_accumulation_matches_resident(config_dir):
     """Epochs over the HBM budget stream through per-segment programs; the
     accumulated gradient, BN stats, and metrics match the HBM-resident path
