@@ -25,6 +25,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 REFERENCE_IMAGES_PER_SEC = 3000.0
 
 
+def _mark(stage: str, t0=time.monotonic()):
+    """Stage progress on stderr so a slow/hung run is diagnosable.
+
+    Timeout forensics, not user output: the first run on a fresh machine
+    pays one-time costs (TPU tunnel init, cold XLA compile) that have been
+    observed to stretch past external watchdog budgets."""
+    print(f"[bench {time.monotonic() - t0:6.1f}s] {stage}", file=sys.stderr, flush=True)
+
+
 def main():
     import logging
 
@@ -37,6 +46,7 @@ def main():
     from fullbatchtraining_tpu.models import construct_model, initialize_model
     from fullbatchtraining_tpu.parallel.mesh import make_mesh
     from fullbatchtraining_tpu.training.training import make_train_functions, stage_epoch
+    from fullbatchtraining_tpu.utils import enable_compilation_cache
 
     # data.batch_size in the reference is "the maximum batchsize that fits
     # onto the GPU" (config/data/CIFAR10.yaml comment) - an implementation
@@ -50,15 +60,19 @@ def main():
         "impl.mixed_precision=True",  # bf16 compute, fp32 params/accumulation
         "seed=0",
     ])
+    enable_compilation_cache(cfg.impl.get("compilation_cache"))
     mesh = make_mesh(cfg.impl.setup)
     n_chips = mesh.devices.size
+    _mark(f"mesh ready ({n_chips} {jax.default_backend()} device(s))")
     bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
     model = construct_model(cfg.model, bundle.channels, bundle.classes)
     fns = make_train_functions(model, bundle, mesh, cfg)
     variables = initialize_model(model, jax.random.key(0), bundle.pixels, bundle.channels)
     state = fns.init_state(variables)
+    _mark("state initialized")
 
     images, labels = stage_epoch(bundle, fns, mesh, cfg, 0, {})
+    _mark("epoch staged")
     num_blocks, chunks, sub = fns.layout
     images_per_step = num_blocks * chunks * sub * n_chips
 
@@ -78,10 +92,12 @@ def main():
             step_flops = float(ca["flops"]) * num_blocks * chunks
     except Exception:
         step_fn = fns.full_step
+    _mark("step compiled")
 
     # Warmup
     state, metrics = step_fn(state, images, labels)
     jax.block_until_ready(metrics["train_loss"])
+    _mark("warmup done; timing")
 
     # The TPU tunnel's step timings are noisy; take the fastest of several
     # individually-timed steps as the honest hardware number.

@@ -125,6 +125,32 @@ def _host_fingerprint() -> str:
     return hashlib.sha1(spec.encode()).hexdigest()[:8]
 
 
+def enable_compilation_cache(cache_dir) -> None:
+    """Point JAX at the persistent XLA executable cache under ``cache_dir``.
+
+    Repeat launches of the same recipe skip compilation entirely (measured
+    through the axon tunnel: 80 s cold -> 0.26 s warm for a conv program).
+    Safe to share across processes; keyed by computation + backend.
+    XLA:CPU AOT executables additionally embed the HOST machine's ISA
+    features, which the cache key does NOT cover - an entry written on
+    another machine loads with a feature-mismatch warning and can then
+    misexecute (observed: a cross-host entry spinning forever on this
+    host). Scope the cache per host fingerprint so shared filesystems
+    and reimaged machines stay safe. No-op when ``cache_dir`` is falsy."""
+    if not cache_dir:
+        return
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.expanduser(str(cache_dir)),
+                         f"host-{_host_fingerprint()}"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as err:  # unsupported backend/flag: run uncached
+        log.info("Compilation cache disabled: %s", err)
+
+
 def system_startup(cfg):
     """Initialize distributed runtime (if any) and build the mesh."""
     import jax
@@ -137,26 +163,7 @@ def system_startup(cfg):
         except RuntimeError:
             pass  # backend already initialized
 
-    cache_dir = cfg.impl.get("compilation_cache")
-    if cache_dir:
-        # Persistent XLA executable cache: repeat launches of the same
-        # recipe skip compilation entirely (measured through the axon
-        # tunnel: 80 s cold -> 0.26 s warm for a conv program). Safe to
-        # share across processes; keyed by computation + backend.
-        # XLA:CPU AOT executables additionally embed the HOST machine's ISA
-        # features, which the cache key does NOT cover - an entry written on
-        # another machine loads with a feature-mismatch warning and can then
-        # misexecute (observed: a cross-host entry spinning forever on this
-        # host). Scope the cache per host fingerprint so shared filesystems
-        # and reimaged machines stay safe.
-        try:
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                os.path.join(os.path.expanduser(str(cache_dir)),
-                             f"host-{_host_fingerprint()}"))
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception as err:  # unsupported backend/flag: run uncached
-            log.info("Compilation cache disabled: %s", err)
+    enable_compilation_cache(cfg.impl.get("compilation_cache"))
 
     from .parallel import make_mesh, setup_distributed
 
