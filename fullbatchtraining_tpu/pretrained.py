@@ -55,13 +55,29 @@ def _torch_load(path):
             for k, v in model_state.items()}, int(step)
 
 
-def _torch_key_for(path_parts: list[str], leaf: str, collection: str) -> str | None:
+# torch.nn.Sequential indices of the downsample conv/norm per variant
+# (reference resnets.py:138-163: A = (conv,), B = (conv, norm),
+# C = (pool, conv, norm), preact-B = (nonlin, conv), preact-C =
+# (nonlin, pool, conv)).
+_DOWNSAMPLE_SEQ_INDICES = {
+    "A": {"conv": 0},
+    "B": {"conv": 0, "norm": 1},
+    "C": {"conv": 1, "norm": 2},
+    "preact-B": {"conv": 1},
+    "preact-C": {"conv": 2},
+}
+
+
+def _torch_key_for(path_parts: list[str], leaf: str, collection: str,
+                   downsample_indices: dict | None = None) -> str | None:
     """Map a flax parameter path to the reference ResNet state-dict key.
 
     Reference module layout (resnets.py): stem = Sequential(conv, bn, nonlin
     [, maxpool]); layers = Sequential of stage-Sequentials of blocks;
     downsample variants place the conv/norm at Sequential indices depending
-    on the variant; classifier is ``fc``.
+    on the variant (``downsample_indices``, default variant 'C' — the import
+    path shape-probes the alternatives, the export path passes the exact
+    variant); classifier is ``fc``.
     """
     name = path_parts[0]
     suffix_map = {
@@ -85,11 +101,8 @@ def _torch_key_for(path_parts: list[str], leaf: str, collection: str) -> str | N
         stage, block = int(match.group(1)) - 1, int(match.group(2))
         inner = path_parts[1]
         if inner == "downsample":
-            # downsample='C': Sequential(AvgPool, conv, norm) -> indices 1, 2
-            # downsample='B': Sequential(conv, norm) -> indices 0, 1 (handled
-            # by the fallback probe in convert_torch_resnet).
             kind = path_parts[2]  # 'conv' or 'norm'
-            idx = {"conv": 1, "norm": 2}[kind]
+            idx = (downsample_indices or _DOWNSAMPLE_SEQ_INDICES["C"])[kind]
             return f"layers.{stage}.{block}.downsample.{idx}.{suffix}"
         # conv1/bn1/conv2/... map 1:1
         return f"layers.{stage}.{block}.{inner}.{suffix}"
@@ -159,6 +172,88 @@ def convert_torch_resnet(model_state: dict, variables: dict) -> dict:
     if missing:
         raise KeyError(f"Unmapped parameters during conversion: {missing[:10]}")
     return converted
+
+
+def export_torch_resnet(variables: dict, downsample: str = "C",
+                        step: int = 0) -> dict:
+    """Inverse of :func:`convert_torch_resnet`: flax variables -> the
+    reference torch ResNet state dict (reference key names, conv kernels
+    HWIO -> OIHW, linear weights (I, O) -> (O, I)).
+
+    ``downsample`` selects the reference Sequential layout of the shortcut
+    branch (resnets.py:138-163) — unlike the import direction, which probes
+    by shape, the export direction must know the variant to place keys at
+    the right indices. Each BatchNorm additionally gets the
+    ``num_batches_tracked`` buffer torch's strict ``load_state_dict``
+    requires (set to ``step``; the reference's momentum-EMA BNs never read
+    it back).
+
+    Returns numpy arrays; :func:`save_reference_checkpoint` wraps them in
+    torch tensors and the release 5-tuple.
+    """
+    if downsample not in _DOWNSAMPLE_SEQ_INDICES:
+        raise ValueError(f"Unknown downsample variant {downsample!r}")
+    ds_indices = _DOWNSAMPLE_SEQ_INDICES[downsample]
+    state_dict: dict[str, np.ndarray] = {}
+
+    def visit(collection, tree):
+        flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+        for path, leaf in flat:
+            parts = [p.key for p in path]
+            logical = [p for p in parts[:-1] if p != "bn"]
+            key = _torch_key_for(logical, parts[-1], collection,
+                                 downsample_indices=ds_indices)
+            if key is None:
+                raise KeyError(
+                    f"Cannot map {'/'.join(parts)} to a reference ResNet key "
+                    "— export_torch_resnet covers the ResNet family only "
+                    "(the reference release format, hubconf.py:9-16).")
+            value = np.asarray(jax.device_get(leaf), np.float32)
+            if parts[-1] == "kernel":
+                if value.ndim == 4:  # HWIO -> OIHW
+                    value = value.transpose(3, 2, 0, 1)
+                elif value.ndim == 2:  # (I, O) -> (O, I)
+                    value = value.T
+            state_dict[key] = np.ascontiguousarray(value)
+
+    visit("params", variables["params"])
+    if variables.get("batch_stats"):
+        visit("batch_stats", variables["batch_stats"])
+    for key in [k for k in state_dict if k.endswith(".running_mean")]:
+        state_dict[key.replace(".running_mean", ".num_batches_tracked")] = \
+            np.asarray(step, np.int64)
+    return state_dict
+
+
+def save_reference_checkpoint(variables: dict, file, downsample: str = "C",
+                              step: int = 0, optim_state: dict | None = None,
+                              scheduler_state: dict | None = None,
+                              scaler_state=None):
+    """Write the reference's 5-element torch checkpoint [optim_state,
+    model_state, scheduler_state, scaler_state, step]
+    (reference training/utils.py:43-51) from flax variables, loadable by
+    every reference consumer of the format: ``torch.hub`` release entries
+    (hubconf.py:37-40), ``verify_model_checkpoint.py:30-34`` and
+    ``crunch.py:27-32`` — all of which read only ``model_state`` and
+    ``step``. The optimizer/scheduler slots default to empty dicts: torch
+    optimizer state is an index-keyed attribute snapshot of a live Python
+    object, so resuming reference *training* from a JAX run is out of scope
+    (MIGRATION.md); pass explicit dicts to fill the slots.
+    """
+    import torch
+
+    # torch.tensor COPIES: device_get leaves can be non-writable views, which
+    # from_numpy would wrap with an undefined-behavior warning.
+    model_state = {k: torch.tensor(v)
+                   for k, v in export_torch_resnet(
+                       variables, downsample=downsample, step=step).items()}
+    file = Path(file)
+    file.parent.mkdir(parents=True, exist_ok=True)
+    torch.save([optim_state or {}, model_state, scheduler_state or {},
+                scaler_state, int(step)], file)
+    log.info("Exported reference-format checkpoint (%d tensors, step %d) to %s",
+             len(model_state), step, file)
+    return file
 
 
 def _model_cfg(depth: int, width: int = 64, downsample: str = "C"):

@@ -56,3 +56,31 @@ def test_cli_workflow_chain(tmp_path):
         "name=chain_crunch", "hyp=fb1", "impl.checkpoint.name=chain.ckpt",
         "viz=1d", "viz.coordinates.x.num=3", "viz.vmap_positions=3"], tmp_path)
     assert "Surface complete: 3 positions" in out
+
+
+def test_cli_export_reference_checkpoint(tmp_path):
+    """train -> tools/export_reference_checkpoint.py produces a torch-loadable
+    reference 5-tuple (the reverse interop direction, MIGRATION.md)."""
+    resnet = ["model=resnet20", "model.width=4", "data.size=32",
+              "data.path=/tmp/__none__", "data.batch_size=16",
+              "hyp.sub_batch=16", "seed=0", "data.augmentations_train="]
+    out = _run("train_with_gradient_descent.py", resnet + [
+        "name=export_src", "hyp=fb1", "hyp.steps=1", "hyp.warmup=0",
+        "impl.checkpoint.name=export_src.ckpt"], tmp_path)
+    assert "Job finished" in out
+
+    out = _run("tools/export_reference_checkpoint.py", resnet + [
+        "name=export_run", "impl.checkpoint.name=export_src.ckpt",
+        "+out=export/final_resnet20.pth"], tmp_path)
+    assert "Exported" in out
+    pth = tmp_path / "export" / "final_resnet20.pth"
+    assert pth.exists()
+
+    import torch
+
+    payload = torch.load(pth, weights_only=False)
+    assert isinstance(payload, list) and len(payload) == 5
+    assert payload[4] == 1  # trained one step
+    assert any(k.endswith("num_batches_tracked") for k in payload[1])
+    assert payload[1]["fc.weight"].ndim == 2  # (O, I): torch Linear layout
+    assert payload[1]["fc.weight"].shape[0] == 10
