@@ -16,6 +16,7 @@ stack exercisable end-to-end.
 
 from __future__ import annotations
 
+import hashlib
 import logging
 import os
 import pickle
@@ -24,6 +25,76 @@ from pathlib import Path
 import numpy as np
 
 log = logging.getLogger(__name__)
+
+# Auto-download archives (reference: torchvision download= for CIFAR,
+# data_preparation.py:115-147; TinyImageNet url at datasets.py:39-44). The
+# md5s are the published archive checksums (torchvision's CIFAR entries; the
+# reference's own TinyImageNet md5s hash the extracted file LIST, which our
+# folder-exists check subsumes — an extracted tree never re-downloads).
+_ARCHIVES = {
+    "CIFAR10": ("https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz",
+                "c58f30108f718f92721af3b95e74349a"),
+    "CIFAR100": ("https://www.cs.toronto.edu/~kriz/cifar-100-python.tar.gz",
+                 "eb9058c3a382ffc7106e4002c42a8d85"),
+    "TinyImageNet": ("http://cs231n.stanford.edu/tiny-imagenet-200.zip",
+                     "90528d7ca1a48142e341f4ef8d21d0de"),
+}
+
+
+def download_dataset(name: str, base: Path) -> bool:
+    """Fetch + md5-verify + extract the raw archive for ``name`` into ``base``.
+
+    The guarded-urllib pattern of ``pretrained._fetch_release_asset``: attempt
+    only when the caller found no raw files, keep partial downloads off the
+    final path (pid-unique .part), and degrade gracefully — returns False on
+    any network failure so zero-egress environments fall through to the
+    synthetic fallback with the existing log line. A checksum MISMATCH raises:
+    a corrupt archive must never be silently replaced by synthetic data.
+    """
+    if name not in _ARCHIVES:
+        return False
+    url, md5 = _ARCHIVES[name]
+    import urllib.error
+    import urllib.request
+
+    base = Path(base)
+    base.mkdir(parents=True, exist_ok=True)
+    archive = base / url.rsplit("/", 1)[-1]
+    if not archive.exists():
+        tmp = archive.with_suffix(archive.suffix + f".{os.getpid()}.part")
+        log.info("Downloading %s -> %s", url, archive)
+        try:
+            with urllib.request.urlopen(url, timeout=60) as response, \
+                    open(tmp, "wb") as out:
+                while chunk := response.read(1 << 20):
+                    out.write(chunk)
+        except (urllib.error.URLError, OSError) as err:
+            tmp.unlink(missing_ok=True)
+            log.warning("Could not download %s (%s) - this environment may "
+                        "have no network egress; place the raw files under %s "
+                        "manually.", url, err, base)
+            return False
+        tmp.replace(archive)
+    digest = hashlib.md5(archive.read_bytes()).hexdigest()
+    if digest != md5:
+        raise RuntimeError(
+            f"MD5 mismatch for {archive}: got {digest}, expected {md5}. "
+            "Delete the file and retry; refusing to extract a corrupt archive.")
+    log.info("Extracting %s (md5 verified)", archive.name)
+    if archive.name.endswith((".tar.gz", ".tgz")):
+        import tarfile
+
+        with tarfile.open(archive, "r:gz") as tar:
+            try:
+                tar.extractall(base, filter="data")  # refuses path traversal
+            except TypeError:  # Python < 3.12: no filter argument
+                tar.extractall(base)
+    else:
+        import zipfile
+
+        with zipfile.ZipFile(archive) as zf:
+            zf.extractall(base)
+    return True
 
 
 class ArrayDataset:
@@ -227,17 +298,29 @@ def _load_imagefolder(base: Path, pixels: int, cache_tag: str,
     return build("train"), build("val")
 
 
-def construct_datasets(cfg_data, dryrun: bool = False) -> tuple[ArrayDataset, ArrayDataset]:
-    """Build (train, valid) ArrayDatasets per the data config group."""
+def construct_datasets(cfg_data, dryrun: bool = False,
+                       can_download: bool = True) -> tuple[ArrayDataset, ArrayDataset]:
+    """Build (train, valid) ArrayDatasets per the data config group.
+
+    ``can_download`` mirrors the reference's gate (data_preparation.py:24:
+    downloads are disabled under distributed launch so N ranks never race
+    one extraction): when raw files are absent, the archive is fetched,
+    md5-verified, and extracted once, then loading retries."""
     base = Path(os.path.expanduser(str(cfg_data.path)))
     name = cfg_data.name
-    loaded = None
-    if name in ("CIFAR10", "CIFAR100"):
-        loaded = _load_cifar_pickles(base, name)
-    elif name == "TinyImageNet":
-        loaded = _load_tiny_imagenet(base)
-    elif name == "ImageNet":
-        loaded = _load_imagefolder(base, cfg_data.pixels, name, dryrun=dryrun)
+
+    def try_load():
+        if name in ("CIFAR10", "CIFAR100"):
+            return _load_cifar_pickles(base, name)
+        if name == "TinyImageNet":
+            return _load_tiny_imagenet(base)
+        if name == "ImageNet":
+            return _load_imagefolder(base, cfg_data.pixels, name, dryrun=dryrun)
+        return None
+
+    loaded = try_load()
+    if loaded is None and can_download and download_dataset(name, base):
+        loaded = try_load()
 
     if loaded is None:
         if not cfg_data.get("synthetic_fallback", False):

@@ -61,11 +61,15 @@ def construct_databundle(cfg_data, cfg_impl=None, cfg_hyp=None, dryrun: bool = F
     """Datasets + augmentation fns + layout constants for one data config.
 
     ``cfg_impl``/``cfg_hyp`` are accepted for call-site symmetry with the
-    reference's ``construct_dataloader(cfg_data, cfg_impl, ...)`` and are
-    currently unused — every impl/hyp-dependent data behavior (device
-    staging, streaming, shuffle, semi-stochastic rounds) lives in the
-    training layer, which reads those configs directly."""
-    train, valid = construct_datasets(cfg_data, dryrun=dryrun)
+    reference's ``construct_dataloader(cfg_data, cfg_impl, ...)``; every
+    impl/hyp-dependent data behavior (device staging, streaming, shuffle,
+    semi-stochastic rounds) lives in the training layer, which reads those
+    configs directly — except the download gate, which mirrors the
+    reference's ``can_download=not cfg_impl.setup.dist``
+    (data_preparation.py:24) so N ranks never race one extraction."""
+    can_download = cfg_impl is None or not bool(cfg_impl.setup.dist)
+    train, valid = construct_datasets(cfg_data, dryrun=dryrun,
+                                      can_download=can_download)
 
     baked = None
     use_db = cfg_data.db.name is not None

@@ -33,6 +33,129 @@ def test_synthetic_fallback(config_dir, tmp_path):
     assert np.array_equal(bundle.train.images, bundle2.train.images)
 
 
+def _make_cifar10_archive(tmp_path, n_per_batch=4):
+    """A genuine cifar-10-python.tar.gz with the standard pickle batches."""
+    import pickle
+    import tarfile
+
+    src = tmp_path / "src" / "cifar-10-batches-py"
+    src.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for fname in [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"]:
+        entry = {b"data": rng.integers(0, 256, (n_per_batch, 3 * 32 * 32),
+                                       dtype=np.uint8).astype(np.uint8),
+                 b"labels": list(rng.integers(0, 10, n_per_batch))}
+        with open(src / fname, "wb") as handle:
+            pickle.dump(entry, handle)
+    archive = tmp_path / "cifar-10-python.tar.gz"
+    with tarfile.open(archive, "w:gz") as tar:
+        tar.add(src, arcname="cifar-10-batches-py")
+    return archive
+
+
+def test_download_dataset_file_url(config_dir, tmp_path, monkeypatch):
+    """Guarded auto-download (reference data_preparation.py:115-147
+    download=can_download): fetch + md5 verify + extract + load, exercised
+    through a file:// URL since this environment has no egress."""
+    import hashlib
+
+    from fullbatchtraining_tpu.data import datasets as ds
+
+    archive = _make_cifar10_archive(tmp_path)
+    md5 = hashlib.md5(archive.read_bytes()).hexdigest()
+    monkeypatch.setitem(ds._ARCHIVES, "CIFAR10", (f"file://{archive}", md5))
+
+    root = tmp_path / "downloaded"
+    cfg = load_config(config_dir, overrides=[
+        "data.size=20", f"data.path={root}", "data.synthetic_fallback=False"])
+    train, valid = ds.construct_datasets(cfg.data)
+    assert len(train) == 20 and len(valid) == 4
+    assert (root / "cifar-10-batches-py" / "data_batch_1").exists()
+    # second construction: raw files present, no re-download attempted
+    monkeypatch.setitem(ds._ARCHIVES, "CIFAR10", ("file:///gone.tar.gz", md5))
+    train2, _ = ds.construct_datasets(cfg.data)
+    assert np.array_equal(train.images, train2.images)
+
+
+def test_download_tiny_imagenet_zip(config_dir, tmp_path, monkeypatch):
+    """The zip branch (reference TinyImageNet downloader, datasets.py:39-81):
+    archive -> extract -> the existing folder parser loads it."""
+    import hashlib
+    import zipfile
+
+    PIL = pytest.importorskip("PIL.Image")
+
+    from fullbatchtraining_tpu.data import datasets as ds
+
+    src = tmp_path / "src" / "tiny-imagenet-200"
+    wnids = ["n01443537", "n01629819"]
+    (src / "val" / "images").mkdir(parents=True)
+    (src / "wnids.txt").write_text("\n".join(wnids) + "\n")
+    rng = np.random.default_rng(0)
+
+    def write_jpeg(path):
+        arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        PIL.fromarray(arr.astype(np.uint8)).save(path, "JPEG")
+
+    ann = []
+    for i, wnid in enumerate(wnids):
+        folder = src / "train" / wnid / "images"
+        folder.mkdir(parents=True)
+        for j in range(2):
+            write_jpeg(folder / f"{wnid}_{j}.JPEG")
+        write_jpeg(src / "val" / "images" / f"val_{i}.JPEG")
+        ann.append(f"val_{i}.JPEG\t{wnid}\t0\t0\t10\t10")
+    (src / "val" / "val_annotations.txt").write_text("\n".join(ann) + "\n")
+
+    archive = tmp_path / "tiny-imagenet-200.zip"
+    with zipfile.ZipFile(archive, "w") as zf:
+        for f in sorted(src.rglob("*")):
+            zf.write(f, f.relative_to(src.parent))
+    md5 = hashlib.md5(archive.read_bytes()).hexdigest()
+    monkeypatch.setitem(ds._ARCHIVES, "TinyImageNet", (f"file://{archive}", md5))
+
+    root = tmp_path / "root"
+    cfg = load_config(config_dir, overrides=[
+        "data=TinyImageNet", "data.size=4", f"data.path={root}",
+        "data.synthetic_fallback=False"])
+    train, valid = ds.construct_datasets(cfg.data)
+    assert train.images.shape == (4, 64, 64, 3)
+    assert len(valid) == 2 and valid.labels.tolist() == [0, 1]
+
+
+def test_download_md5_mismatch_raises(tmp_path, monkeypatch):
+    """A corrupt archive must fail loudly, never silently fall through to
+    synthetic data."""
+    from fullbatchtraining_tpu.data import datasets as ds
+
+    archive = _make_cifar10_archive(tmp_path)
+    monkeypatch.setitem(ds._ARCHIVES, "CIFAR10",
+                        (f"file://{archive}", "0" * 32))
+    with pytest.raises(RuntimeError, match="MD5 mismatch"):
+        ds.download_dataset("CIFAR10", tmp_path / "root")
+
+
+def test_download_offline_falls_back(config_dir, tmp_path, monkeypatch):
+    """Zero egress: the downloader degrades to the existing synthetic-fallback
+    log line instead of crashing."""
+    from fullbatchtraining_tpu.data import datasets as ds
+
+    monkeypatch.setitem(ds._ARCHIVES, "CIFAR10",
+                        ("file:///nonexistent/cifar.tar.gz", "0" * 32))
+    cfg = load_config(config_dir, overrides=[
+        "data.size=16", f"data.path={tmp_path}/empty"])
+    train, _ = ds.construct_datasets(cfg.data)  # synthetic_fallback default True
+    assert len(train) == 16
+
+    # distributed gate: can_download=False never even attempts the URL
+    def boom(*a, **k):
+        raise AssertionError("download attempted under dist")
+
+    monkeypatch.setattr(ds, "download_dataset", boom)
+    train, _ = ds.construct_datasets(cfg.data, can_download=False)
+    assert len(train) == 16
+
+
 def test_synthetic_is_learnable(config_dir, tmp_path):
     """Per-class patterns are separable: nearest-pattern classification works."""
     cfg = load_config(config_dir, overrides=["data.size=256", f"data.path={tmp_path}/x"])
