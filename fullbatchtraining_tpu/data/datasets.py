@@ -53,6 +53,10 @@ def download_dataset(name: str, base: Path) -> bool:
     """
     if name not in _ARCHIVES:
         return False
+    if os.environ.get("FBT_NO_DOWNLOAD"):
+        # hermetic-mode kill switch (test suite, driver smoke contracts):
+        # skip the doomed socket attempt entirely in zero-egress sandboxes
+        return False
     url, md5 = _ARCHIVES[name]
     import urllib.error
     import urllib.request

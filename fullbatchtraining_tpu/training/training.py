@@ -122,6 +122,42 @@ def _resolve_block_grouping(spec, total_chunks: int, sub: int,
     return max(1, min(cap, total_chunks))
 
 
+def _resolve_eval_chunking(spec, batch: int, act_bytes_per_sample=None,
+                           act_budget=None, double: bool = False) -> int:
+    """Sub-chunks per eval block (``impl.eval_block_chunks``).
+
+    Eval sweeps blocks of ``data.batch_size`` samples; unlike training —
+    whose accumulation chunks got an activation-aware auto cap — a block
+    used to run as ONE forward, so eval could OOM where training could not
+    (measured: ResNet-50 CIFAR-stem @224 eval needs a single 12.25 GB
+    stem activation at batch 2048; the reference evaluates wherever its
+    training fits, training.py:343-388). 'auto' picks the smallest divisor
+    of ``batch`` whose sub-chunk activation estimate fits
+    ``impl.activation_budget_bytes``; eval metrics are per-sample sums, so
+    the split is semantics-free. ``double`` charges two live forwards
+    (hyp.test_time_flips keeps the first softmax alive across the second
+    pass). Explicit integer specs are rounded UP to the nearest divisor;
+    1 disables chunking."""
+    if spec is True:
+        spec = "auto"
+    if spec is None or spec is False or spec in (0, 1):
+        return 1
+    if spec == "auto":
+        if not act_bytes_per_sample:
+            return 1
+        budget = int(act_budget or (9 << 30))
+        per_sample = int(act_bytes_per_sample) * (2 if double else 1)
+        need = -(-(batch * per_sample) // max(budget, 1))
+        if need <= 1:
+            return 1
+    else:
+        need = max(1, int(spec))
+    for k in range(min(need, batch), batch + 1):
+        if batch % k == 0:
+            return k
+    return batch
+
+
 class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: Any
@@ -181,7 +217,9 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         effective_size, bundle.batch_size, hyp.sub_batch, n_dev, dryrun=cfg.dryrun)
     act_bytes = None
     _group_spec = impl.get("block_grouping", "auto")
-    if _group_spec == "auto" or _group_spec is True:  # NOT `in (...)`: 1 == True
+    _eval_spec = impl.get("eval_block_chunks", "auto")
+    if (_group_spec == "auto" or _group_spec is True
+            or _eval_spec == "auto" or _eval_spec is True):  # NOT `in`: 1 == True
         from ..models.models import estimate_activation_bytes
         _est_dtype = (_DTYPES[impl.compute_dtype] if impl.compute_dtype
                       else (jnp.bfloat16 if impl.mixed_precision
@@ -189,6 +227,14 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         act_bytes = estimate_activation_bytes(model, bundle.pixels,
                                               bundle.channels,
                                               compute_dtype=_est_dtype)
+    eval_chunks = _resolve_eval_chunking(_eval_spec, bundle.batch_size,
+                                         act_bytes,
+                                         impl.get("activation_budget_bytes"),
+                                         double=bool(hyp.test_time_flips))
+    if eval_chunks > 1:
+        log.info("Eval blocks of %d samples split into %d sub-chunks of %d "
+                 "(activation budget; metrics are sums — exact)",
+                 bundle.batch_size, eval_chunks, bundle.batch_size // eval_chunks)
     gradreg_on = bool(hyp.grad_reg.block_strength or hyp.grad_reg.acc_strength)
     group = _resolve_block_grouping(impl.get("block_grouping", "auto"),
                                     num_blocks * chunks, sub,
@@ -954,7 +1000,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
     # -------------------------------------------------------------------
     # Evaluation (training.py:343-388)
     # -------------------------------------------------------------------
-    def _eval_block(params, batch_stats, imgs, lbls, w):
+    def _eval_samples(params, batch_stats, imgs, lbls, w):
         x = bundle.eval_transform(imgs)
         if bundle.normalize:
             x = normalize_images(x, mean, std, compute_dtype)
@@ -970,6 +1016,24 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         loss = (losses * w).sum()
         correct = (((outputs.argmax(-1) == lbls)).astype(jnp.float32) * w).sum()
         return jnp.stack([loss, correct, w.sum()]).astype(stat_dtype)
+
+    def _eval_block(params, batch_stats, imgs, lbls, w):
+        """One data.batch_size eval block, sub-chunked when its activations
+        exceed the budget (``_resolve_eval_chunking``); per-sample metric
+        sums make the split exact up to summation order."""
+        if eval_chunks == 1:
+            return _eval_samples(params, batch_stats, imgs, lbls, w)
+
+        def sub_body(c, xs):
+            return c + _eval_samples(params, batch_stats, *xs), None
+
+        def split(a):
+            return a.reshape(eval_chunks, a.shape[0] // eval_chunks,
+                             *a.shape[1:])
+
+        c, _ = jax.lax.scan(sub_body, jnp.zeros((3,), stat_dtype),
+                            (split(imgs), split(lbls), split(w)))
+        return c
 
     def _eval_scan(params, batch_stats, sums, images, labels, weights):
         """Continue (loss, correct, count) sums over these blocks. The carry

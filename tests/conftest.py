@@ -12,6 +12,9 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Hermetic suite: never attempt real dataset downloads from tests (the
+# download tests that exercise the machinery delete this var and use file://)
+os.environ.setdefault("FBT_NO_DOWNLOAD", "1")
 
 import pathlib
 import sys

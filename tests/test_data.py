@@ -57,6 +57,7 @@ def test_download_dataset_file_url(config_dir, tmp_path, monkeypatch):
     """Guarded auto-download (reference data_preparation.py:115-147
     download=can_download): fetch + md5 verify + extract + load, exercised
     through a file:// URL since this environment has no egress."""
+    monkeypatch.delenv("FBT_NO_DOWNLOAD", raising=False)
     import hashlib
 
     from fullbatchtraining_tpu.data import datasets as ds
@@ -80,6 +81,7 @@ def test_download_dataset_file_url(config_dir, tmp_path, monkeypatch):
 def test_download_tiny_imagenet_zip(config_dir, tmp_path, monkeypatch):
     """The zip branch (reference TinyImageNet downloader, datasets.py:39-81):
     archive -> extract -> the existing folder parser loads it."""
+    monkeypatch.delenv("FBT_NO_DOWNLOAD", raising=False)
     import hashlib
     import zipfile
 
@@ -126,6 +128,7 @@ def test_download_tiny_imagenet_zip(config_dir, tmp_path, monkeypatch):
 def test_download_md5_mismatch_raises(tmp_path, monkeypatch):
     """A corrupt archive must fail loudly, never silently fall through to
     synthetic data."""
+    monkeypatch.delenv("FBT_NO_DOWNLOAD", raising=False)
     from fullbatchtraining_tpu.data import datasets as ds
 
     archive = _make_cifar10_archive(tmp_path)
@@ -138,6 +141,7 @@ def test_download_md5_mismatch_raises(tmp_path, monkeypatch):
 def test_download_offline_falls_back(config_dir, tmp_path, monkeypatch):
     """Zero egress: the downloader degrades to the existing synthetic-fallback
     log line instead of crashing."""
+    monkeypatch.delenv("FBT_NO_DOWNLOAD", raising=False)
     from fullbatchtraining_tpu.data import datasets as ds
 
     monkeypatch.setitem(ds._ARCHIVES, "CIFAR10",

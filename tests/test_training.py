@@ -1047,3 +1047,53 @@ def test_eval_streamed_equals_resident(config_dir):
                                          *streamed))
     assert float(m_res["valid_loss"]) == float(m_str["valid_loss"])
     assert float(m_res["valid_acc"]) == float(m_str["valid_acc"])
+
+
+def test_resolve_eval_chunking():
+    """Divisor selection for activation-aware eval sub-chunking."""
+    from fullbatchtraining_tpu.training.training import _resolve_eval_chunking
+
+    # fits the budget -> one forward per block
+    assert _resolve_eval_chunking("auto", 2048, 10, act_budget=1 << 30) == 1
+    # 2048 x 6MB = 12 GB over a 9 GB budget -> needs 2, 2 divides
+    assert _resolve_eval_chunking("auto", 2048, 6 << 20, act_budget=9 << 30) == 2
+    # need rounds UP to the next divisor (batch 16, need 3 -> 4)
+    assert _resolve_eval_chunking("auto", 16, 3 << 30, act_budget=16 << 30) == 4
+    # test_time_flips doubles the live activations
+    assert _resolve_eval_chunking("auto", 2048, 6 << 20, act_budget=9 << 30,
+                                  double=True) == 4
+    # prime batch: only full split divides
+    assert _resolve_eval_chunking("auto", 13, 1 << 30, act_budget=1) == 13
+    # explicit specs: trusted (rounded up to a divisor), 1/None disable
+    assert _resolve_eval_chunking(4, 16, None) == 4
+    assert _resolve_eval_chunking(3, 16, None) == 4
+    assert _resolve_eval_chunking(1, 2048, 1 << 40, act_budget=1) == 1
+    assert _resolve_eval_chunking(None, 2048, 1 << 40, act_budget=1) == 1
+    # no estimate available (block_grouping forced off): stay whole
+    assert _resolve_eval_chunking("auto", 2048, None, act_budget=1) == 1
+
+
+@pytest.mark.parametrize("force", [["impl.eval_block_chunks=4"],
+                                   ["impl.activation_budget_bytes=1"]])
+def test_eval_chunked_equals_whole(config_dir, force):
+    """Activation-aware eval sub-chunking (explicit and forced-budget auto)
+    yields the same metrics as whole-block eval — metrics are per-sample
+    sums, so the split only reassociates them (reference eval fits wherever
+    training does, training.py:343-388)."""
+    from fullbatchtraining_tpu.training.training import stage_validation
+
+    metrics = {}
+    for tag, extra in [("whole", []), ("chunked", force)]:
+        cfg, mesh, bundle, model = _setup(config_dir, extra)
+        fns = make_train_functions(model, bundle, mesh, cfg)
+        variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                     bundle.channels)
+        state = fns.init_state(variables)
+        val = stage_validation(bundle, mesh, fns.num_devices,
+                               bundle.batch_size, cfg_impl=cfg.impl)
+        metrics[tag] = jax.device_get(
+            fns.eval_step(state.params, state.batch_stats, *val))
+    np.testing.assert_allclose(metrics["chunked"]["valid_loss"],
+                               metrics["whole"]["valid_loss"], rtol=1e-6)
+    np.testing.assert_allclose(metrics["chunked"]["valid_acc"],
+                               metrics["whole"]["valid_acc"], rtol=1e-12)
