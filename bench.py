@@ -24,14 +24,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 REFERENCE_IMAGES_PER_SEC = 3000.0
 
+_BENCH_T0 = time.monotonic()  # process-start baseline for _mark timestamps
 
-def _mark(stage: str, t0=time.monotonic()):
+
+def _mark(stage: str):
     """Stage progress on stderr so a slow/hung run is diagnosable.
 
     Timeout forensics, not user output: the first run on a fresh machine
     pays one-time costs (TPU tunnel init, cold XLA compile) that have been
     observed to stretch past external watchdog budgets."""
-    print(f"[bench {time.monotonic() - t0:6.1f}s] {stage}", file=sys.stderr, flush=True)
+    print(f"[bench {time.monotonic() - _BENCH_T0:6.1f}s] {stage}",
+          file=sys.stderr, flush=True)
 
 
 def main():
