@@ -26,6 +26,9 @@ def main():
     crunch_mode = "--crunch" in extra
     if crunch_mode:
         extra.remove("--crunch")
+    analysis_mode = "--analysis" in extra
+    if analysis_mode:
+        extra.remove("--analysis")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -58,6 +61,9 @@ def main():
     bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
     model = construct_model(cfg.model, bundle.channels, bundle.classes)
     fns = make_train_functions(model, bundle, mesh, cfg)
+    if int(cfg.impl.get("hbm_epoch_max_bytes", 8 << 30)) == 1:
+        # tests forcing a 1-byte budget expect streaming to actually engage
+        assert fns.streamed, "forced budget did not engage streaming"
     variables = initialize_model(model, jax.random.key(0), bundle.pixels,
                                  bundle.channels)
     if train_mode:
@@ -94,6 +100,23 @@ def main():
             np.savez(outdir / "multiproc_crunch.npz",
                      train_loss=np.asarray(landscape["train_loss"]),
                      full_loss=np.asarray(landscape["full_loss"]))
+        jax.distributed.shutdown()
+        return
+
+    if analysis_mode:
+        # Multi-process gradient-statistics sweep (SNR / noise scale /
+        # per-batch norms); with a forced 1-byte HBM budget the per-chunk
+        # sweep streams its donated Welford carry (device-sharded ACROSS
+        # processes) through segment programs.
+        from collections import defaultdict
+
+        from fullbatchtraining_tpu.analysis.analysis import analyze
+
+        state = fns.init_state(variables)
+        stats = analyze(model, bundle, mesh, cfg, fns, state, defaultdict(list))
+        if jax.process_index() == 0:
+            np.savez(outdir / "multiproc_analysis.npz",
+                     **{k: np.asarray(v) for k, v in stats.items()})
         jax.distributed.shutdown()
         return
 

