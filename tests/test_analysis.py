@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from collections import defaultdict
 
 from fullbatchtraining_tpu.analysis.directions import (
@@ -74,6 +75,7 @@ def test_set_parameter_offset_2d():
     np.testing.assert_allclose(np.asarray(out["w"]), 1.0)
 
 
+@pytest.mark.slow  # compile-heavy on the 1-core host; semantics also covered by faster siblings
 def test_full_analyze_pass(config_dir):
     cfg = load_config(config_dir, overrides=[
         "model=linear", "data.size=64", "data.path=/tmp/__none__",
@@ -171,6 +173,7 @@ def test_per_batch_norms_in_dataset_order(config_dir):
     np.testing.assert_allclose(norms[8], norms[1], rtol=1e-5)
 
 
+@pytest.mark.slow  # compile-heavy on the 1-core host; semantics also covered by faster siblings
 def test_flatness(config_dir):
     cfg = load_config(config_dir, overrides=[
         "model=linear", "data.size=64", "data.path=/tmp/__none__",

@@ -383,6 +383,7 @@ def test_block_grouping_matches_sequential(config_dir):
     np.testing.assert_allclose(m1["grad_norm"], m4["grad_norm"], rtol=1e-4)
 
 
+@pytest.mark.slow  # compile-heavy on the 1-core host; semantics also covered by faster siblings
 def test_grad_noise_modifiers(config_dir):
     """hyp.grad_noise additive/multiplicative on the FULL averaged gradient
     (reference training.py:212-215): zero-mean draws at the configured scale,
@@ -432,6 +433,7 @@ def test_grad_noise_modifiers(config_dir):
     assert norm > 0.01
 
 
+@pytest.mark.slow  # compile-heavy on the 1-core host; semantics also covered by faster siblings
 def test_block_grouping_detects_custom_bn_momentum(config_dir):
     """A model built with a non-default norm momentum must still produce
     correct grouped running stats: the per-leaf stat decay is MEASURED at
@@ -528,6 +530,7 @@ def test_block_grouping_disables_on_non_affine_stats(config_dir):
     assert fns.group == 1
 
 
+@pytest.mark.slow  # compile-heavy on the 1-core host; semantics also covered by faster siblings
 def test_block_grouping_probes_momentum_less_stat_layers(config_dir):
     """A stats-bearing layer WITHOUT a `momentum` attribute must still be
     probed: non-affine updates disable grouping, affine ones fold with the
@@ -670,9 +673,10 @@ def test_estimate_activation_bytes_follows_compute_dtype():
 
 
 def test_block_grouping_one_skips_activation_probe(config_dir, monkeypatch):
-    """impl.block_grouping=1 (documented 'disables grouping') must not pay
-    the activation-estimate trace — only 'auto'/True read it. Guarded against
-    Python's 1 == True equality."""
+    """impl.block_grouping=1 + impl.eval_block_chunks=1 (both documented
+    'disables') must not pay the activation-estimate trace — only
+    'auto'/True read it. Guarded against Python's 1 == True equality for
+    BOTH keys."""
     import fullbatchtraining_tpu.models.models as mm
     from fullbatchtraining_tpu.config import load_config
     from fullbatchtraining_tpu.data import construct_databundle
@@ -681,13 +685,13 @@ def test_block_grouping_one_skips_activation_probe(config_dir, monkeypatch):
     from fullbatchtraining_tpu.training.training import make_train_functions
 
     def boom(*a, **k):
-        raise AssertionError("estimate_activation_bytes called for grouping=1")
+        raise AssertionError("estimate_activation_bytes called for spec=1")
 
     monkeypatch.setattr(mm, "estimate_activation_bytes", boom)
     cfg = load_config(config_dir, overrides=[
         "model=linear", "data.size=16", "data.path=/tmp/__none__",
         "data.batch_size=2", "hyp.sub_batch=2", "hyp=fb1", "seed=0",
-        "impl.block_grouping=1"])
+        "impl.block_grouping=1", "impl.eval_block_chunks=1"])
     mesh = make_mesh(cfg.impl.setup)
     bundle = construct_databundle(cfg.data, cfg.impl, cfg.hyp, seed=0)
     model = construct_model(cfg.model, bundle.channels, bundle.classes)
