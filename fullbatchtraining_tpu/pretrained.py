@@ -208,7 +208,9 @@ def export_torch_resnet(variables: dict, downsample: str = "C",
                     f"Cannot map {'/'.join(parts)} to a reference ResNet key "
                     "— export_torch_resnet covers the ResNet family only "
                     "(the reference release format, hubconf.py:9-16).")
-            value = np.asarray(jax.device_get(leaf), np.float32)
+            # dtype preserved: fp32 states export fp32 (the release format);
+            # fp64 trajectory-oracle states round-trip exactly
+            value = np.asarray(jax.device_get(leaf))
             if parts[-1] == "kernel":
                 if value.ndim == 4:  # HWIO -> OIHW
                     value = value.transpose(3, 2, 0, 1)
@@ -254,6 +256,211 @@ def save_reference_checkpoint(variables: dict, file, downsample: str = "C",
     log.info("Exported reference-format checkpoint (%d tensors, step %d) to %s",
              len(model_state), step, file)
     return file
+
+
+# ---------------------------------------------------------------------------
+# Training-resume export: the optimizer and scheduler slots of the 5-tuple,
+# so reference-side training can CONTINUE a run trained here
+# (reference training/utils.py:54-70 _load_from_checkpoint).
+# ---------------------------------------------------------------------------
+
+
+def _torch_param_rank(key: str) -> tuple:
+    """Registration-order rank of a torch ResNet PARAMETER key.
+
+    torch optimizer state is keyed by the enumeration index of
+    ``model.parameters()``, which follows module registration order
+    (reference resnets.py __init__: stem Sequential, then stages/blocks —
+    within a block convN/bnN in definition order with downsample LAST,
+    resnets.py:198-211 / Bottleneck — then fc). Oracle-pinned against the
+    reference's own named_parameters() in tests/test_pretrained.py."""
+    leaf = 0 if key.endswith(".weight") else 1
+    parts = key.split(".")
+    if parts[0] == "stem":
+        return (0, int(parts[1]), 0, 0, leaf)
+    if parts[0] == "layers":
+        stage, block, inner = int(parts[1]), int(parts[2]), parts[3]
+        if inner == "downsample":
+            return (1, stage, block, 100 + int(parts[4]), leaf)
+        rank = {"conv1": 0, "bn1": 1, "conv2": 2, "bn2": 3,
+                "conv3": 4, "bn3": 5}[inner]
+        return (1, stage, block, rank, leaf)
+    if parts[0] == "fc":
+        return (2, 0, 0, 0, leaf)
+    raise KeyError(f"Unknown torch ResNet parameter key {key!r}")
+
+
+def torch_parameter_keys(model_state: dict) -> list[str]:
+    """The torch ``model.parameters()`` order for a ResNet state dict."""
+    params = [k for k in model_state if not k.endswith(
+        ("running_mean", "running_var", "num_batches_tracked"))]
+    return sorted(params, key=_torch_param_rank)
+
+
+def export_torch_sgd_state(momentum_by_key: dict | None, param_order: list[str],
+                           lr_next: float, cfg_optim) -> dict:
+    """torch.optim.SGD.state_dict() for the 5-tuple's optim slot.
+
+    ``momentum_by_key``: torch-keyed momentum buffers (this framework's
+    SGDState.momentum is torch-exact, optimizers.py:94-133) — None or empty
+    before the first step, matching torch's lazily-created state.
+    ``lr_next``: the group lr the NEXT step will consume (the reference
+    loop steps the scheduler after the optimizer, training.py:237-238, so
+    a saved group carries the already-advanced lr). Single param group
+    (hyp.only_linear_layers_weight_decay=False, the recipe default)."""
+    import torch
+
+    state = {}
+    if momentum_by_key:
+        missing = [k for k in param_order if k not in momentum_by_key]
+        if missing:
+            raise KeyError(f"Momentum buffers missing for {missing[:5]}")
+        state = {i: {"momentum_buffer": torch.tensor(momentum_by_key[k])}
+                 for i, k in enumerate(param_order)}
+    group = {
+        "lr": float(lr_next),
+        "momentum": float(cfg_optim.momentum),
+        "dampening": float(cfg_optim.get("dampening", 0.0) or 0.0),
+        "weight_decay": float(cfg_optim.get("weight_decay", 0.0) or 0.0),
+        "nesterov": bool(cfg_optim.get("nesterov", False)),
+        # modern-torch group keys (absent in torch 1.9; harmless there)
+        "maximize": False, "foreach": None, "differentiable": False,
+        "fused": None,
+        "params": list(range(len(param_order))),
+    }
+    return {"state": state, "param_groups": [group]}
+
+
+def export_torch_scheduler_state(cfg_hyp, steps_done: int,
+                                 n_groups: int = 1) -> dict:
+    """The scheduler slot of the 5-tuple after ``steps_done`` training steps.
+
+    Replays REAL torch schedulers built exactly like the reference
+    (optimizers.py:69-91: MultiStepLR at steps//2.667/1.6/1.142 for
+    'linear', CosineAnnealingLR variants, the empty MultiStepLR for null,
+    all wrapped in GradualWarmupScheduler when warmup > 0) for
+    ``steps_done`` step() calls, then serializes in the reference's
+    format: the warmup wrapper's custom state_dict stores its own attrs
+    plus the after-scheduler's attr dict (scheduler.py:92-101); bare
+    schedulers use torch's standard state_dict."""
+    import torch
+
+    base_lr = float(cfg_hyp.optim.lr)
+    steps = int(cfg_hyp.steps)
+    opt = torch.optim.SGD(
+        [torch.nn.Parameter(torch.zeros(1)) for _ in range(n_groups)],
+        lr=base_lr)
+    name = cfg_hyp.scheduler
+    sched = torch.optim.lr_scheduler
+    if name == "linear":
+        after = sched.MultiStepLR(opt, milestones=[
+            steps // 2.667, steps // 1.6, steps // 1.142], gamma=0.1)
+    elif name == "exponential":
+        after = sched.ExponentialLR(opt, gamma=0.99)
+    elif name == "cosine-decay-floored":
+        after = sched.CosineAnnealingLR(opt, steps, eta_min=base_lr / 25)
+    elif name == "cosine-decay":
+        after = sched.CosineAnnealingLR(opt, steps, eta_min=0.0)
+    elif name == "cosine-4000":
+        after = sched.CosineAnnealingLR(opt, 4000, eta_min=0.0)
+    elif name in ("", " ", None):
+        after = sched.MultiStepLR(opt, milestones=[], gamma=1)
+    else:
+        raise ValueError(f"Invalid scheduler {name} provided.")
+
+    warmup = int(cfg_hyp.warmup or 0)
+    if warmup <= 0:
+        for _ in range(steps_done):
+            after.step()
+        return after.state_dict()
+
+    _Base = getattr(sched, "LRScheduler", None) or sched._LRScheduler
+
+    class _GradualWarmupReplica(_Base):
+        """Behavioral replica of the reference GradualWarmupScheduler
+        (additional_optimizers/scheduler.py:32-101) used ONLY to replay
+        and serialize scheduler state for exports: lr ramps base*epoch/total
+        (multiplier 1.0), the first post-warmup get_lr flips `finished` and
+        re-bases the after-scheduler, after which step() delegates."""
+
+        def __init__(self, optimizer, total_epoch, after_scheduler):
+            self.multiplier = 1.0
+            self.total_epoch = total_epoch
+            self.after_scheduler = after_scheduler
+            self.finished = False
+            super().__init__(optimizer)
+
+        def get_lr(self):
+            if self.last_epoch > self.total_epoch:
+                if not self.finished:
+                    self.after_scheduler.base_lrs = [
+                        b * self.multiplier for b in self.base_lrs]
+                    self.finished = True
+                return list(self.after_scheduler.get_last_lr())
+            return [b * (float(self.last_epoch) / self.total_epoch)
+                    for b in self.base_lrs]
+
+        def step(self, epoch=None):
+            if self.finished and self.after_scheduler:
+                self.after_scheduler.step(
+                    epoch - self.total_epoch if epoch is not None else None)
+                self._last_lr = list(self.after_scheduler.get_last_lr())
+            else:
+                super().step(epoch)
+
+    warm = _GradualWarmupReplica(opt, warmup, after)
+    for _ in range(steps_done):
+        warm.step()
+    payload = {k: v for k, v in warm.__dict__.items()
+               if k not in ("optimizer", "after_scheduler")}
+    payload["after_scheduler"] = {k: v for k, v in after.__dict__.items()
+                                  if k != "optimizer"}
+    return payload
+
+
+def export_reference_training_checkpoint(state, cfg, file, schedule=None):
+    """Full 5-tuple export from a TrainState: model weights PLUS the
+    optimizer momentum and scheduler state, so the reference's own
+    ``_load_from_checkpoint`` (training/utils.py:54-70) resumes training
+    mid-run from a model trained here. Falls back to weights-only (empty
+    optim/scheduler slots) with a log line when the run's optimizer is not
+    the plain-SGD family the torch layout maps to."""
+    from .training.optimizers import make_lr_schedule
+
+    step = int(np.asarray(jax.device_get(state.step)))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    downsample = str(cfg.model.downsample)
+
+    exportable = (
+        cfg.hyp.optim.name == "Gradient Descent"
+        and cfg.hyp.optim.get("line_search", "none") == "none"
+        and not cfg.hyp.get("only_linear_layers_weight_decay", False)
+        and cfg.hyp.optim_modification.name in (None, "none")
+        and getattr(state.opt_state, "momentum", None) is not None)
+    if not exportable:
+        log.info("Optimizer %s is not plain SGD: exporting weights-only "
+                 "(empty optim/scheduler slots).", cfg.hyp.optim.name)
+        return save_reference_checkpoint(variables, file,
+                                         downsample=downsample, step=step)
+
+    model_state = export_torch_resnet(variables, downsample=downsample,
+                                      step=step)
+    momentum_by_key = None
+    if step > 0 and float(cfg.hyp.optim.momentum):
+        # torch SGD state is lazily created: no buffers before the first
+        # step or with momentum=0
+        momentum_by_key = export_torch_resnet(
+            {"params": jax.device_get(state.opt_state.momentum)},
+            downsample=downsample)
+    schedule = schedule or make_lr_schedule(cfg.hyp)
+    lr_next = float(np.asarray(jax.device_get(schedule(step))))
+    optim_state = export_torch_sgd_state(
+        momentum_by_key, torch_parameter_keys(model_state), lr_next,
+        cfg.hyp.optim)
+    scheduler_state = export_torch_scheduler_state(cfg.hyp, step)
+    return save_reference_checkpoint(
+        variables, file, downsample=downsample, step=step,
+        optim_state=optim_state, scheduler_state=scheduler_state)
 
 
 def _model_cfg(depth: int, width: int = 64, downsample: str = "C"):

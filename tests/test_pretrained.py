@@ -193,6 +193,100 @@ def test_export_roundtrip_through_hub_entry(tmp_path):
     np.testing.assert_allclose(out_new, out_src, atol=1e-6)
 
 
+def test_export_training_checkpoint_resumes_in_torch(tmp_path):
+    """Training-resume export: the optim slot loads into a real torch SGD
+    over the reference's own ResNet with buffers on the RIGHT parameters
+    (registration-order oracle), and the scheduler slot continues the lr
+    sequence exactly where this framework's schedule left off — the two
+    pieces the reference's _load_from_checkpoint consumes beyond weights
+    (training/utils.py:54-70)."""
+    import importlib.util
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    import types
+
+    from fullbatchtraining_tpu.config import load_config
+    from fullbatchtraining_tpu.models import construct_model, initialize_model
+    from fullbatchtraining_tpu.pretrained import (
+        _model_cfg, export_reference_training_checkpoint, torch_parameter_keys)
+    from fullbatchtraining_tpu.training.optimizers import SGDState, make_lr_schedule
+
+    cfg = load_config(pathlib.Path(__file__).resolve().parent.parent / "config",
+                      overrides=["model=resnet18", "hyp=fb1", "hyp.steps=16",
+                                 "hyp.warmup=3", "hyp.scheduler=cosine-decay"])
+    steps_done = 5
+    model = construct_model(cfg.model, 3, 10)
+    variables = initialize_model(model, jax.random.key(7), pixels=32, channels=3)
+    # distinct fake momentum buffers so index mispairings cannot cancel
+    momentum = jax.tree.map(
+        lambda p: jnp.full_like(p, float(np.prod(p.shape) % 97) + 0.25),
+        variables["params"])
+    state = types.SimpleNamespace(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        opt_state=SGDState(momentum=momentum, count=jnp.asarray(steps_done)),
+        step=np.asarray(steps_done, np.int32))
+
+    file = export_reference_training_checkpoint(state, cfg,
+                                                tmp_path / "resume.pth")
+    optim_state, model_state, scheduler_state, scaler_state, step = torch.load(
+        file, weights_only=False)
+    assert step == steps_done and scaler_state is None
+    assert len(optim_state["param_groups"]) == 1
+    assert optim_state["param_groups"][0]["momentum"] == cfg.hyp.optim.momentum
+
+    # --- the torch side: reference ResNet + real SGD + the reference's own
+    # warmup scheduler class ----------------------------------------------
+    ref = _load_reference_models()
+    block, layers = ref.resnet_depths_to_config(18)
+    tmodel = ref.ResNet(block, layers, 3, 10, stem="CIFAR", downsample="C",
+                        zero_init_residual=True)
+    tmodel.load_state_dict(model_state, strict=True)
+
+    # ordering oracle: our registration-order ranking IS torch's
+    assert torch_parameter_keys(model_state) == \
+        [k for k, _ in tmodel.named_parameters()]
+
+    # construction-then-load order mirrors the reference flow exactly:
+    # optim_interface builds optimizer + scheduler (whose init step writes
+    # an lr into the groups), THEN _load_from_checkpoint restores the
+    # optimizer (saved group lr survives) and the scheduler attrs
+    opt = torch.optim.SGD(tmodel.parameters(), lr=cfg.hyp.optim.lr,
+                          momentum=cfg.hyp.optim.momentum,
+                          weight_decay=cfg.hyp.optim.weight_decay)
+    spec = importlib.util.spec_from_file_location(
+        "refsched", REFERENCE.parent / "training/additional_optimizers/scheduler.py")
+    refsched = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(refsched)
+    after = torch.optim.lr_scheduler.CosineAnnealingLR(opt, cfg.hyp.steps,
+                                                       eta_min=0.0)
+    warm = refsched.GradualWarmupScheduler(opt, multiplier=1.0,
+                                           total_epoch=cfg.hyp.warmup,
+                                           after_scheduler=after)
+
+    opt.load_state_dict(optim_state)  # structural check: counts must match
+    for i, (name, param) in enumerate(tmodel.named_parameters()):
+        buf = opt.state[param]["momentum_buffer"]
+        expected = float(np.prod(param.shape) % 97) + 0.25
+        assert float(buf.ravel()[0]) == expected, (i, name)
+        assert buf.shape == param.shape, name
+    warm.load_state_dict(dict(scheduler_state))
+
+    # lr continuation oracle: the loaded group lr is the lr our schedule
+    # assigns to the NEXT step, and stepping the reference scheduler
+    # reproduces our schedule for the rest of the run
+    schedule = make_lr_schedule(cfg.hyp)
+    np.testing.assert_allclose(opt.param_groups[0]["lr"],
+                               float(schedule(steps_done)), rtol=1e-6)
+    for k in range(steps_done, cfg.hyp.steps - 1):
+        warm.step()
+        np.testing.assert_allclose(opt.param_groups[0]["lr"],
+                                   float(schedule(k + 1)), rtol=1e-6,
+                                   err_msg=f"lr diverged at step {k + 1}")
+
+
 def test_export_rejects_non_resnet():
     """Non-ResNet trees fail with a clear message instead of a silent
     partial export."""

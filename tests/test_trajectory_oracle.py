@@ -957,3 +957,134 @@ def _torch_ghost_model(params, classes):
         net.linear.bias.copy_(torch.tensor(
             np.asarray(params["linear"]["bias"], np.float64)))
     return net.to(torch.float64)
+
+
+# ---------------------------------------------------------------------------
+# Mid-training handoff: a run trained HERE continues in the reference's own
+# train loop through the exported 5-tuple (the strongest possible checkpoint
+# interop evidence: weights + SGD momentum + scheduler state must all be
+# right for the trajectories to coincide at fp64)
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_handoff_resumes_reference_training(config_dir, tmp_path,
+                                                       _torch19_foreach_shim):
+    """Train 4 steps here, export the 5-tuple, let the reference's own
+    _load_from_checkpoint + train loop run steps 5-8, and compare against an
+    uninterrupted 8-step run of THIS framework: final parameters and BN
+    running stats must coincide (rtol 1e-8). Covers the optim slot (momentum
+    buffers in torch parameter order), the scheduler slot (warmup wrapper
+    state, reference scheduler.py:92-111 format — warmup=3 so the resumed
+    run crosses the `finished` flip), and the saved group lr (the lr the
+    next step consumes, reference training.py:281-285 cadence)."""
+    import jax
+    import torch
+
+    from fullbatchtraining_tpu.config import load_config
+    from fullbatchtraining_tpu.data import construct_databundle
+    from fullbatchtraining_tpu.models import initialize_model
+    from fullbatchtraining_tpu.parallel import make_mesh
+    from fullbatchtraining_tpu.pretrained import (export_torch_scheduler_state,
+                                                  export_torch_sgd_state)
+    from fullbatchtraining_tpu.training.training import train
+
+    base = [
+        "model=linear", "hyp=fb1", "hyp.scheduler=cosine-decay",
+        "data.size=64", "data.path=/tmp/__traj_nodata__", "data.batch_size=16",
+        "data.normalize=False", "data.augmentations_train=",
+        "data.augmentations_val=", "hyp.warmup=3", "hyp.sub_batch=16",
+        "seed=0", "impl.dtype=float64", "impl.accumulation_dtype=float64",
+        "impl.mixed_precision=False", "impl.validate_every_nth_step=4",
+        "name=handoff",
+    ]
+    cfg8 = load_config(config_dir, overrides=base + ["hyp.steps=8"])
+
+    with jax.enable_x64(True):
+        mesh = make_mesh(cfg8.impl.setup, devices=np.asarray(jax.devices()[:1]))
+        bundle = construct_databundle(cfg8.data, cfg8.impl, cfg8.hyp, seed=0)
+        model = _jax_bn_model(bundle.classes)
+        variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                     bundle.channels)
+        params0 = jax.device_get(variables["params"])
+
+        # the uninterrupted oracle: 8 steps in this framework
+        state8, _ = train(model, bundle, mesh, cfg8)
+        final8 = jax.device_get(state8.params)
+        bn8 = jax.device_get(state8.batch_stats)
+
+        # the handoff source: the identical run stopped after 4 steps
+        cfg4 = load_config(config_dir, overrides=base + ["hyp.steps=4"])
+        state4, _ = train(model, bundle, mesh, cfg4)
+        params4 = jax.device_get(state4.params)
+        bn4 = jax.device_get(state4.batch_stats)
+        mom4 = jax.device_get(state4.opt_state.momentum)
+        from fullbatchtraining_tpu.training.optimizers import make_lr_schedule
+        lr_next = float(np.asarray(make_lr_schedule(cfg8.hyp)(4)))
+
+    # ---- export the 5-tuple (TinyBNNet key mapping; the ResNet-family
+    # mapping is oracle-tested separately in test_pretrained.py) -----------
+    def to_torch_keys(params, batch_stats=None, step=0):
+        sd = {}
+        for tag in ("c1", "c2"):
+            sd[f"{tag}.weight"] = np.transpose(
+                np.asarray(params[tag]["kernel"], np.float64), (3, 2, 0, 1))
+        for tag in ("b1", "b2"):
+            sd[f"{tag}.weight"] = np.asarray(params[tag]["scale"], np.float64)
+            sd[f"{tag}.bias"] = np.asarray(params[tag]["bias"], np.float64)
+            if batch_stats is not None:
+                sd[f"{tag}.running_mean"] = np.asarray(batch_stats[tag]["mean"])
+                sd[f"{tag}.running_var"] = np.asarray(batch_stats[tag]["var"])
+                sd[f"{tag}.num_batches_tracked"] = np.asarray(step, np.int64)
+        sd["linear.weight"] = np.asarray(params["linear"]["kernel"],
+                                         np.float64).T
+        sd["linear.bias"] = np.asarray(params["linear"]["bias"], np.float64)
+        return sd
+
+    order = ["c1.weight", "b1.weight", "b1.bias", "c2.weight", "b2.weight",
+             "b2.bias", "linear.weight", "linear.bias"]  # registration order
+    model_state = {k: torch.tensor(v)
+                   for k, v in to_torch_keys(params4, bn4, step=4).items()}
+    optim_state = export_torch_sgd_state(to_torch_keys(mom4), order, lr_next,
+                                         cfg8.hyp.optim)
+    scheduler_state = export_torch_scheduler_state(cfg8.hyp, steps_done=4)
+    (tmp_path / "checkpoints").mkdir()
+    torch.save([optim_state, model_state, scheduler_state, None, 4],
+               tmp_path / "checkpoints" / "handoff.pth")
+
+    # registration-order sanity against the real torch twin
+    tmodel = _torch_bn_model(params0, bundle.classes)
+    assert [k for k, _ in tmodel.named_parameters()] == order
+
+    # ---- the reference resumes steps 5-8 from our export ------------------
+    reftrain = _load_reference_training()
+    cfgref = load_config(config_dir, overrides=base + ["hyp.steps=8"])
+    cfgref.impl.checkpoint.name = "handoff.pth"
+    cfgref.original_cwd = str(tmp_path)
+    trainloader = _torch_loader(bundle.train.images, bundle.train.labels,
+                                cfgref.data.batch_size, drop_last=True)
+    validloader = _torch_loader(bundle.valid.images, bundle.valid.labels,
+                                cfgref.data.batch_size, drop_last=False)
+    setup = {"device": torch.device("cpu"), "dtype": torch.float64}
+    ref_stats = reftrain.train(tmodel, trainloader, validloader, setup, cfgref)
+    assert len(ref_stats["train_loss"]) == 4  # resumed, not restarted
+
+    # ---- the trajectories must coincide ------------------------------------
+    ref_final = to_torch_keys(
+        {**{t: {"kernel": getattr(tmodel, t).weight.detach().numpy()
+                .transpose(2, 3, 1, 0)} for t in ("c1", "c2")},
+         **{t: {"scale": getattr(tmodel, t).weight.detach().numpy(),
+                "bias": getattr(tmodel, t).bias.detach().numpy()}
+            for t in ("b1", "b2")},
+         "linear": {"kernel": tmodel.linear.weight.detach().numpy().T,
+                    "bias": tmodel.linear.bias.detach().numpy()}})
+    ours_final = to_torch_keys(final8)
+    for key in ours_final:
+        np.testing.assert_allclose(ours_final[key], ref_final[key],
+                                   rtol=1e-8, atol=1e-10, err_msg=key)
+    for tag, mod in (("b1", tmodel.b1), ("b2", tmodel.b2)):
+        np.testing.assert_allclose(bn8[tag]["mean"],
+                                   mod.running_mean.detach().numpy(),
+                                   rtol=1e-8, atol=1e-10, err_msg=tag)
+        np.testing.assert_allclose(bn8[tag]["var"],
+                                   mod.running_var.detach().numpy(),
+                                   rtol=1e-8, atol=1e-10, err_msg=tag)

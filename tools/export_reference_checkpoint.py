@@ -50,7 +50,8 @@ def main(overrides=None, job_num=None, sweep_stamp=None):
 
     from fullbatchtraining_tpu.data import construct_databundle
     from fullbatchtraining_tpu.models import construct_model, initialize_model
-    from fullbatchtraining_tpu.pretrained import save_reference_checkpoint
+    from fullbatchtraining_tpu.pretrained import (
+        export_reference_training_checkpoint, save_reference_checkpoint)
     from fullbatchtraining_tpu.training.training import make_train_functions
     from fullbatchtraining_tpu.training.utils import load_checkpoint
 
@@ -65,14 +66,19 @@ def main(overrides=None, job_num=None, sweep_stamp=None):
                                   file=checkpoint_path)
 
     use_ema = bool(cfg.get("ema", False))
-    if use_ema and state.ema_params is None:
-        raise SystemExit("+ema=True but the checkpoint carries no EMA weights "
-                         "(hyp.evaluate_ema was off).")
-    params = state.ema_params if use_ema else state.params
-    batch_stats = state.ema_batch_stats if use_ema else state.batch_stats
-    file = save_reference_checkpoint(
-        {"params": params, "batch_stats": batch_stats}, out_path,
-        downsample=str(cfg.model.downsample), step=step)
+    if use_ema:
+        if state.ema_params is None:
+            raise SystemExit("+ema=True but the checkpoint carries no EMA "
+                             "weights (hyp.evaluate_ema was off).")
+        # EMA weights never pair with the live optimizer state: weights-only
+        file = save_reference_checkpoint(
+            {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
+            out_path, downsample=str(cfg.model.downsample), step=step)
+    else:
+        # full 5-tuple: weights + SGD momentum + scheduler state when the
+        # optimizer maps to torch's layout, weights-only otherwise
+        file = export_reference_training_checkpoint(state, cfg, out_path,
+                                                    schedule=fns.schedule)
     log.info("Exported %s step %d -> %s%s", checkpoint_path.name, step, file,
              " (EMA weights)" if use_ema else "")
     return file
