@@ -216,7 +216,9 @@ def export_torch_resnet(variables: dict, downsample: str = "C",
                     value = value.transpose(3, 2, 0, 1)
                 elif value.ndim == 2:  # (I, O) -> (O, I)
                     value = value.T
-            state_dict[key] = np.ascontiguousarray(value)
+            # order="C": contiguous copy that PRESERVES 0-d shapes
+            # (ascontiguousarray would promote scalars to (1,))
+            state_dict[key] = np.array(value, order="C")
 
     visit("params", variables["params"])
     if variables.get("batch_stats"):
@@ -230,25 +232,28 @@ def export_torch_resnet(variables: dict, downsample: str = "C",
 def save_reference_checkpoint(variables: dict, file, downsample: str = "C",
                               step: int = 0, optim_state: dict | None = None,
                               scheduler_state: dict | None = None,
-                              scaler_state=None):
+                              scaler_state=None, model_cfg=None):
     """Write the reference's 5-element torch checkpoint [optim_state,
     model_state, scheduler_state, scaler_state, step]
     (reference training/utils.py:43-51) from flax variables, loadable by
     every reference consumer of the format: ``torch.hub`` release entries
     (hubconf.py:37-40), ``verify_model_checkpoint.py:30-34`` and
     ``crunch.py:27-32`` — all of which read only ``model_state`` and
-    ``step``. The optimizer/scheduler slots default to empty dicts: torch
-    optimizer state is an index-keyed attribute snapshot of a live Python
-    object, so resuming reference *training* from a JAX run is out of scope
-    (MIGRATION.md); pass explicit dicts to fill the slots.
+    ``step``. Pass ``model_cfg`` to export any model family
+    (:func:`export_torch_state`); without it, the ResNet release layout
+    with the given ``downsample`` variant is assumed. The
+    optimizer/scheduler slots default to empty dicts; pass explicit dicts
+    (see :func:`export_reference_training_checkpoint`) to fill them.
     """
     import torch
 
+    if model_cfg is not None:
+        raw = export_torch_state(variables, model_cfg, step=step)
+    else:
+        raw = export_torch_resnet(variables, downsample=downsample, step=step)
     # torch.tensor COPIES: device_get leaves can be non-writable views, which
     # from_numpy would wrap with an undefined-behavior warning.
-    model_state = {k: torch.tensor(v)
-                   for k, v in export_torch_resnet(
-                       variables, downsample=downsample, step=step).items()}
+    model_state = {k: torch.tensor(v) for k, v in raw.items()}
     file = Path(file)
     file.parent.mkdir(parents=True, exist_ok=True)
     torch.save([optim_state or {}, model_state, scheduler_state or {},
@@ -256,6 +261,219 @@ def save_reference_checkpoint(variables: dict, file, downsample: str = "C",
     log.info("Exported reference-format checkpoint (%d tensors, step %d) to %s",
              len(model_state), step, file)
     return file
+
+
+# ---------------------------------------------------------------------------
+# Family-generic state-dict interop: key mappers for the non-ResNet model
+# families, shared by the export (flax -> torch .pth) and import
+# (torch -> flax) directions. The reference's checkpoint machinery saves
+# state_dicts of ANY of its model families (training/utils.py:43-51), so
+# two-way interop cannot stop at the ResNet release format. Layout sources:
+# /root/reference/fullbatch/models/{densenets,vgg,nfnets,pyramidnets}.py.
+# Each mapper takes (logical_parts, leaf, collection) where logical_parts is
+# the flax module path with the BatchNorm2d wrapper level ('bn') stripped
+# and the leaf name removed, and returns the reference state-dict key.
+# ---------------------------------------------------------------------------
+
+_SUFFIX_MAP = {
+    ("params", "kernel"): "weight", ("params", "scale"): "weight",
+    ("params", "bias"): "bias",
+    ("batch_stats", "mean"): "running_mean",
+    ("batch_stats", "var"): "running_var",
+}
+
+
+def _densenet_key(parts, leaf, collection):
+    """Reference DenseNet key (densenets.py: torchvision layout —
+    features.conv0/norm0 stem, denseblock{i}.denselayer{j}.{norm,conv}{1,2},
+    transition{i}.{norm,conv}, norm5, classifier)."""
+    suffix = _SUFFIX_MAP[(collection, leaf)]
+    name = parts[0]
+    if name == "classifier":
+        return f"classifier.{suffix}"
+    if name.startswith(("stem_conv", "stem_norm")):
+        return f"features.{name.removeprefix('stem_')}.{suffix}"
+    match = re.fullmatch(r"block(\d+)_layer(\d+)", name)
+    if match:
+        return (f"features.denseblock{match.group(1)}."
+                f"denselayer{match.group(2)}.{parts[1]}.{suffix}")
+    match = re.fullmatch(r"transition(\d+)_(norm|conv)", name)
+    if match:
+        return f"features.transition{match.group(1)}.{match.group(2)}.{suffix}"
+    if name == "final_norm":
+        return f"features.norm5.{suffix}"
+    raise KeyError(f"Unmapped DenseNet module {name!r}")
+
+
+def _vgg_key_factory(vgg_name: str, head: str):
+    """Reference VGG key mapper (vgg.py:45-68): features is a flat
+    Sequential of (conv, norm, nonlin) per plan entry, +1 per 'M' pool;
+    the classifier is a bare Linear (CIFAR), Sequential(pool, Linear)
+    (TinyImageNet) or the 8-slot ImageNet MLP (Linears at 1/4/7)."""
+    from .models.vgg import VGG_PLANS
+
+    conv_to_seq, seq, idx = {}, 0, 0
+    for entry in VGG_PLANS[vgg_name.upper()]:
+        if entry == "M":
+            seq += 1
+        else:
+            conv_to_seq[idx] = seq
+            seq += 3
+            idx += 1
+
+    def mapper(parts, leaf, collection):
+        suffix = _SUFFIX_MAP[(collection, leaf)]
+        name = parts[0]
+        if name == "classifier":
+            if head == "CIFAR":
+                return f"classifier.{suffix}"
+            if head == "TinyImageNet":
+                return f"classifier.1.{suffix}"
+            return f"classifier.7.{suffix}"
+        if name == "fc1":
+            return f"classifier.1.{suffix}"
+        if name == "fc2":
+            return f"classifier.4.{suffix}"
+        kind, i = name[:4], int(name[4:])
+        base = conv_to_seq[i] + (0 if kind == "conv" else 1)
+        return f"features.{base}.{suffix}"
+
+    return mapper
+
+
+def _nfnet_key(parts, leaf, collection):
+    """Reference NFNet key (nfnets.py: stem.conv{n}, body.{i} blocks,
+    final_conv, linear; WSConv2d carries a per-channel 'gain' and blocks a
+    scalar 'skip_gain' — no running stats anywhere)."""
+    name = parts[0]
+    if name.startswith("stem_conv"):
+        base, rest = f"stem.conv{name.removeprefix('stem_conv')}", []
+    elif name.startswith("block"):
+        base, rest = f"body.{name.removeprefix('block')}", parts[1:]
+    elif name in ("final_conv", "linear"):
+        base, rest = name, []
+    else:
+        raise KeyError(f"Unmapped NFNet module {name!r}")
+    if leaf == "skip_gain":
+        return f"{base}.skip_gain"
+    suffix = {"kernel": "weight", "gain": "gain", "bias": "bias"}[leaf]
+    return ".".join([base, *rest, suffix])
+
+
+def _pyramidnet_key(parts, leaf, collection):
+    """Reference PyramidNet key (pyramidnets.py: layer{s} Sequentials of
+    blocks with conv/bn modules named 1:1; top-level conv1/bn_final/fc)."""
+    suffix = _SUFFIX_MAP[(collection, leaf)]
+    name = parts[0]
+    match = re.fullmatch(r"layer(\d+)_block(\d+)", name)
+    if match:
+        return f"layer{match.group(1)}.{match.group(2)}.{parts[1]}.{suffix}"
+    return f"{name}.{suffix}"
+
+
+def _family_key_mapper(cfg_model):
+    """Dispatch a key mapper by model family, mirroring
+    models.construct_model's name matching (models/models.py:39-106)."""
+    name = str(cfg_model.name).lower()
+    if "densenet" in name:
+        return _densenet_key
+    if "vgg" in name:
+        return _vgg_key_factory(str(cfg_model.name),
+                                str(cfg_model.get("head", "CIFAR")))
+    if "linear" in name:
+        raise ValueError(
+            "The linear debug model has no reference state-dict layout: the "
+            "reference's is a 2-layer Sequential MLP (models.py:41-43), ours "
+            "a single Dense — both are debug-only and neither is released.")
+    if "nfnet" in name:
+        return _nfnet_key
+    if "pyramidnet" in name:
+        return _pyramidnet_key
+    raise ValueError(f"Unknown model family {cfg_model.name!r} for "
+                     "state-dict interop")
+
+
+def export_torch_state(variables: dict, cfg_model, step: int = 0) -> dict:
+    """flax variables -> the reference torch state dict for ANY reference
+    model family (ResNets dispatch to :func:`export_torch_resnet`, which
+    additionally needs the downsample Sequential layout). Conv kernels
+    HWIO -> OIHW, linear weights (I, O) -> (O, I), NFNet gains
+    (C,) -> (C, 1, 1, 1); every BatchNorm gets the ``num_batches_tracked``
+    buffer torch's strict ``load_state_dict`` requires."""
+    name = str(cfg_model.name).lower()
+    if "resnet" in name:
+        return export_torch_resnet(
+            variables, downsample=str(cfg_model.get("downsample", "C")),
+            step=step)
+    mapper = _family_key_mapper(cfg_model)
+    state_dict: dict[str, np.ndarray] = {}
+
+    def visit(collection, tree):
+        flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+        for path, leaf_val in flat:
+            parts = [p.key for p in path]
+            logical = [p for p in parts[:-1] if p != "bn"]
+            key = mapper(logical, parts[-1], collection)
+            value = np.asarray(jax.device_get(leaf_val))
+            if parts[-1] == "kernel":
+                if value.ndim == 4:  # HWIO -> OIHW
+                    value = value.transpose(3, 2, 0, 1)
+                elif value.ndim == 2:  # (I, O) -> (O, I)
+                    value = value.T
+            elif parts[-1] == "gain":  # WSConv2d gain: (C,) -> (C, 1, 1, 1)
+                value = value.reshape(-1, 1, 1, 1)
+            # order="C" (NOT ascontiguousarray, which promotes 0-d scalars
+            # like NFNet skip_gain to shape (1,))
+            state_dict[key] = np.array(value, order="C")
+
+    visit("params", variables["params"])
+    if variables.get("batch_stats"):
+        visit("batch_stats", variables["batch_stats"])
+    for key in [k for k in state_dict if k.endswith(".running_mean")]:
+        state_dict[key.replace(".running_mean", ".num_batches_tracked")] = \
+            np.asarray(step, np.int64)
+    return state_dict
+
+
+def convert_torch_state(model_state: dict, variables: dict, cfg_model) -> dict:
+    """torch state dict -> flax variables for ANY reference model family
+    (inverse of :func:`export_torch_state`; ResNets dispatch to the
+    shape-probing :func:`convert_torch_resnet`)."""
+    name = str(cfg_model.name).lower()
+    if "resnet" in name:
+        return convert_torch_resnet(model_state, variables)
+    mapper = _family_key_mapper(cfg_model)
+    converted = {"params": jax.device_get(variables["params"]),
+                 "batch_stats": jax.device_get(variables.get("batch_stats", {}))}
+
+    def visit(collection):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(converted[collection])
+        new_leaves = []
+        for path, leaf in flat:
+            parts = [p.key for p in path]
+            logical = [p for p in parts[:-1] if p != "bn"]
+            key = mapper(logical, parts[-1], collection)
+            if key not in model_state:
+                raise KeyError(f"Checkpoint is missing {key} "
+                               f"(for {'/'.join(parts)})")
+            value = np.asarray(model_state[key])
+            if parts[-1] == "kernel":
+                if value.ndim == 4:  # OIHW -> HWIO
+                    value = value.transpose(2, 3, 1, 0)
+                elif value.ndim == 2:  # (O, I) -> (I, O)
+                    value = value.T
+            elif parts[-1] == "gain":  # (C, 1, 1, 1) -> (C,)
+                value = value.reshape(-1)
+            assert value.shape == leaf.shape, \
+                f"{'/'.join(parts)}: {value.shape} != {leaf.shape}"
+            # copy (see convert_torch_resnet): never alias torch storage
+            new_leaves.append(jnp.array(value, leaf.dtype))
+        converted[collection] = jax.tree.unflatten(treedef, new_leaves)
+
+    visit("params")
+    if converted["batch_stats"]:
+        visit("batch_stats")
+    return converted
 
 
 # ---------------------------------------------------------------------------
@@ -429,20 +647,24 @@ def export_reference_training_checkpoint(state, cfg, file, schedule=None):
 
     step = int(np.asarray(jax.device_get(state.step)))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    downsample = str(cfg.model.downsample)
 
     exportable = (
         cfg.hyp.optim.name == "Gradient Descent"
         and cfg.hyp.optim.get("line_search", "none") == "none"
         and not cfg.hyp.get("only_linear_layers_weight_decay", False)
         and cfg.hyp.optim_modification.name in (None, "none")
-        and getattr(state.opt_state, "momentum", None) is not None)
+        and getattr(state.opt_state, "momentum", None) is not None
+        # torch optimizer state is keyed by parameters() enumeration index;
+        # the registration-order ranking is oracle-pinned for ResNets only
+        and "resnet" in str(cfg.model.name).lower())
     if not exportable:
-        log.info("Optimizer %s is not plain SGD: exporting weights-only "
-                 "(empty optim/scheduler slots).", cfg.hyp.optim.name)
-        return save_reference_checkpoint(variables, file,
-                                         downsample=downsample, step=step)
+        log.info("Optimizer %s (model %s) has no torch-resumable state "
+                 "layout: exporting weights-only (empty optim/scheduler "
+                 "slots).", cfg.hyp.optim.name, cfg.model.name)
+        return save_reference_checkpoint(variables, file, step=step,
+                                         model_cfg=cfg.model)
 
+    downsample = str(cfg.model.get("downsample", "C"))
     model_state = export_torch_resnet(variables, downsample=downsample,
                                       step=step)
     momentum_by_key = None

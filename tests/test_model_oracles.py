@@ -408,3 +408,97 @@ def _resnet_stats_key(parts):
     from fullbatchtraining_tpu.pretrained import _torch_key_for
 
     return _torch_key_for(parts, parts[-1], "batch_stats")
+
+
+# ---------------------------------------------------------------------------
+# Export direction: flax variables -> reference state dict, strict-loaded
+# into the reference's OWN torch models (the inverse of the import oracles
+# above; reference checkpoints carry any family's state_dict,
+# training/utils.py:43-51)
+# ---------------------------------------------------------------------------
+
+
+def _export_family_case(family):
+    """(our flax model, reference torch model, cfg_model dict, input hw)."""
+    if family == "vgg11":
+        from fullbatchtraining_tpu.models.vgg import VGG
+
+        ref = _load("vgg")
+        return (VGG(vgg_name="VGG11", channels=3, classes=10),
+                ref.VGG("VGG11", in_channels=3, num_classes=10),
+                {"name": "VGG11", "head": "CIFAR"}, 32)
+    if family == "densenet":
+        from fullbatchtraining_tpu.models.densenets import DenseNet
+
+        ref = _load_densenets()
+        return (DenseNet(growth_rate=8, block_config=(2, 2),
+                         num_init_features=16, classes=10, stem="CIFAR"),
+                ref.DenseNet(growth_rate=8, block_config=(2, 2),
+                             num_init_features=16, num_classes=10,
+                             channels=3, stem="CIFAR"),
+                {"name": "DenseNet-tiny"}, 16)
+    if family == "nfnet":
+        from fullbatchtraining_tpu.models.nfnets import NFNet
+
+        ref = _load("nfnets")
+        kw = dict(stochdepth_rate=0.0, alpha=0.2, se_ratio=0.5,
+                  activation="gelu", stem="CIFAR", use_dropout=False)
+        return (NFNet(channels=3, classes=10, variant="F0", **kw),
+                ref.NFNet(3, 10, variant="F0", **kw),
+                {"name": "nfnet"}, 16)
+    if family == "pyramidnet":
+        from fullbatchtraining_tpu.models.pyramidnets import PyramidNet
+
+        ref = _load("pyramidnets")
+        return (PyramidNet(depth=20, alpha=12, channels=3, classes=10,
+                           bottleneck=False),
+                ref.PyramidNet(20, 12, 3, 10, bottleneck=False),
+                {"name": "pyramidnet20"}, 32)  # ref avg-pools a fixed 8x8
+    raise KeyError(family)
+
+
+@pytest.mark.parametrize("family", ["vgg11", "densenet", "nfnet", "pyramidnet"])
+def test_export_torch_state_family(family, tmp_path):
+    """Our randomly-initialized variables export to a state dict the
+    reference's own torch model accepts with load_state_dict(strict=True),
+    the two models then agree on logits, and re-importing the export
+    reproduces the original variables bitwise (the two-way interop oracle
+    for the non-ResNet families; ResNets are covered in test_pretrained.py)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from fullbatchtraining_tpu.config import from_dict
+    from fullbatchtraining_tpu.pretrained import (convert_torch_state,
+                                                  export_torch_state)
+
+    model, tmodel, cfg_dict, hw = _export_family_case(family)
+    tmodel.eval()
+    cfg_model = from_dict(cfg_dict)
+    variables = dict(model.init(jax.random.key(3),
+                                jnp.zeros((1, hw, hw, 3)), train=False))
+
+    exported = export_torch_state(variables, cfg_model, step=7)
+    missing, unexpected = tmodel.load_state_dict(
+        {k: torch.tensor(v) for k, v in exported.items()}, strict=True)
+    assert not missing and not unexpected
+
+    x = np.random.default_rng(11).normal(size=(2, hw, hw, 3)).astype(np.float32)
+    with torch.no_grad():
+        tout = tmodel(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    ours = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(ours, tout, rtol=2e-3, atol=2e-3)
+
+    # round-trip: export -> import must be bitwise on every leaf
+    fresh = dict(model.init(jax.random.key(9), jnp.zeros((1, hw, hw, 3)),
+                            train=False))
+    back = convert_torch_state(exported, fresh, cfg_model)
+    flat_a = jax.tree_util.tree_leaves_with_path(
+        {k: variables[k] for k in back if variables.get(k)})
+    flat_b = jax.tree_util.tree_leaves_with_path(back)
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                      err_msg=str(pa))

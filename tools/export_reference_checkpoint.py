@@ -73,7 +73,7 @@ def main(overrides=None, job_num=None, sweep_stamp=None):
         # EMA weights never pair with the live optimizer state: weights-only
         file = save_reference_checkpoint(
             {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
-            out_path, downsample=str(cfg.model.downsample), step=step)
+            out_path, step=step, model_cfg=cfg.model)
     else:
         # full 5-tuple: weights + SGD momentum + scheduler state when the
         # optimizer maps to torch's layout, weights-only otherwise
