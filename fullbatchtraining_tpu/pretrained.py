@@ -685,6 +685,90 @@ def export_reference_training_checkpoint(state, cfg, file, schedule=None):
         optim_state=optim_state, scheduler_state=scheduler_state)
 
 
+def import_torch_sgd_state(optim_state: dict, param_order: list[str]) -> dict:
+    """Inverse of :func:`export_torch_sgd_state`: torch SGD ``state_dict()``
+    -> momentum buffers keyed by torch PARAMETER key. torch keys its state
+    by the ``model.parameters()`` enumeration index (possibly serialized as
+    strings); ``param_order`` supplies that enumeration. Empty when the
+    checkpoint predates the first step (torch state is lazily created)."""
+    buffers = {}
+    for idx, slot in (optim_state.get("state") or {}).items():
+        buf = slot.get("momentum_buffer")
+        if buf is None:
+            continue
+        key = param_order[int(idx)]
+        buffers[key] = np.asarray(buf.detach().cpu().numpy()
+                                  if hasattr(buf, "detach") else buf)
+    return buffers
+
+
+def import_reference_training_checkpoint(file, cfg, state, schedule=None):
+    """Inverse of :func:`export_reference_training_checkpoint`: read a
+    reference ``.pth`` 5-tuple and fill the template ``TrainState`` so
+    training CONTINUES here from a reference-side run (the migration
+    direction: reference users switch frameworks mid-run). Returns
+    ``(state, step)``.
+
+    Model weights and BN stats import for every family
+    (:func:`convert_torch_state`); SGD momentum imports for the plain-SGD +
+    ResNet combination whose parameter enumeration is oracle-pinned
+    (anything else continues with fresh optimizer state and a log line,
+    exactly mirroring the export direction's fallback). The scheduler slot
+    needs no import — our schedule is a pure function of the step — but the
+    saved group lr is cross-checked against ``schedule(step)`` to catch a
+    cfg/checkpoint hyp mismatch early."""
+    import torch
+
+    from .training.optimizers import SGDState, make_lr_schedule
+
+    optim_state, model_state, scheduler_state, scaler_state, step = torch.load(
+        file, map_location="cpu", weights_only=False)
+    step = int(step)
+    model_np = {k: np.asarray(v.detach().cpu().numpy()
+                              if hasattr(v, "detach") else v)
+                for k, v in model_state.items()}
+    variables = {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)}
+    converted = convert_torch_state(model_np, variables, cfg.model)
+    state = state.replace(params=converted["params"],
+                          batch_stats=converted["batch_stats"],
+                          step=jnp.asarray(step, jnp.int32))
+
+    momentum_importable = (
+        isinstance(state.opt_state, SGDState)
+        and "resnet" in str(cfg.model.name).lower()
+        and (optim_state or {}).get("state"))
+    if momentum_importable:
+        momentum_by_key = import_torch_sgd_state(
+            optim_state, torch_parameter_keys(model_np))
+        # reuse the shape-probing ResNet converter on the momentum tree
+        # (parameter keys, no running stats)
+        mom = convert_torch_resnet(momentum_by_key,
+                                   {"params": jax.device_get(
+                                       state.opt_state.momentum)})
+        state = state.replace(opt_state=SGDState(
+            momentum=mom["params"], count=jnp.asarray(step, jnp.int32)))
+    elif optim_state:
+        log.info("Optimizer slot not importable for model %s (momentum "
+                 "maps for plain-SGD ResNets only): continuing with fresh "
+                 "optimizer state.", cfg.model.name)
+
+    groups = (optim_state or {}).get("param_groups") or []
+    if groups and "lr" in groups[0]:
+        schedule = schedule or make_lr_schedule(cfg.hyp)
+        lr_here = float(np.asarray(jax.device_get(schedule(step))))
+        lr_saved = float(groups[0]["lr"])
+        if not np.isclose(lr_here, lr_saved, rtol=1e-5, atol=1e-12):
+            log.warning(
+                "Checkpoint lr %.6g != schedule(%d)=%.6g — the hyp config "
+                "does not match the run that wrote this checkpoint.",
+                lr_saved, step, lr_here)
+    if scaler_state:
+        log.info("Ignoring the grad-scaler slot: bf16 on TPU needs no loss "
+                 "scaling (the reference only populates it under AMP).")
+    return state, step
+
+
 def _model_cfg(depth: int, width: int = 64, downsample: str = "C"):
     return from_dict({
         "name": f"ResNet{depth}", "depth": depth, "width": width, "stem": "CIFAR",

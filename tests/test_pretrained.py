@@ -372,3 +372,58 @@ def test_torch_hub_load_local():
                                           trust_repo=True,
                                           pretrained=False, progress=False)
         assert "params" in variables and hasattr(model, "apply"), entry
+
+
+def test_import_training_checkpoint_roundtrip(tmp_path):
+    """export -> import is the identity on a plain-SGD TrainState: params,
+    BN running stats, momentum buffers and the step survive the reference
+    5-tuple bitwise (fp32), so a run can hop frameworks in either direction
+    without numeric drift."""
+    import types as _types  # noqa: F401  (parallel structure with export test)
+
+    import jax
+    import jax.numpy as jnp
+
+    from fullbatchtraining_tpu.config import load_config
+    from fullbatchtraining_tpu.models import construct_model, initialize_model
+    from fullbatchtraining_tpu.pretrained import (
+        export_reference_training_checkpoint, import_reference_training_checkpoint)
+    from fullbatchtraining_tpu.training.optimizers import SGDState
+    from fullbatchtraining_tpu.training.training import TrainState
+
+    cfg = load_config(pathlib.Path(__file__).resolve().parent.parent / "config",
+                      overrides=["model=resnet18", "hyp=fb1", "hyp.steps=16",
+                                 "hyp.warmup=3", "hyp.scheduler=cosine-decay"])
+    model = construct_model(cfg.model, 3, 10)
+    variables = initialize_model(model, jax.random.key(1), pixels=32, channels=3)
+    rng = np.random.default_rng(5)
+    momentum = jax.tree.map(
+        lambda p: jnp.asarray(rng.normal(size=p.shape), p.dtype),
+        variables["params"])
+    src = TrainState(step=jnp.asarray(5, jnp.int32),
+                     params=variables["params"],
+                     batch_stats=variables["batch_stats"],
+                     opt_state=SGDState(momentum=momentum,
+                                        count=jnp.asarray(5, jnp.int32)))
+
+    file = export_reference_training_checkpoint(src, cfg, tmp_path / "rt.pth")
+
+    zeros = lambda t: jax.tree.map(jnp.zeros_like, t)  # noqa: E731
+    template = TrainState(step=jnp.zeros((), jnp.int32),
+                          params=zeros(variables["params"]),
+                          batch_stats=zeros(variables["batch_stats"]),
+                          opt_state=SGDState(momentum=zeros(momentum),
+                                             count=jnp.zeros((), jnp.int32)))
+    restored, step = import_reference_training_checkpoint(file, cfg, template)
+    assert step == 5 and int(restored.step) == 5
+
+    for tag, a, b in (("params", src.params, restored.params),
+                      ("batch_stats", src.batch_stats, restored.batch_stats),
+                      ("momentum", src.opt_state.momentum,
+                       restored.opt_state.momentum)):
+        for (pa, va), (pb, vb) in zip(
+                jax.tree_util.tree_leaves_with_path(a),
+                jax.tree_util.tree_leaves_with_path(b), strict=True):
+            assert pa == pb
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                          err_msg=f"{tag}:{pa}")

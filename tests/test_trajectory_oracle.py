@@ -1088,3 +1088,132 @@ def test_checkpoint_handoff_resumes_reference_training(config_dir, tmp_path,
         np.testing.assert_allclose(bn8[tag]["var"],
                                    mod.running_var.detach().numpy(),
                                    rtol=1e-8, atol=1e-10, err_msg=tag)
+
+
+def test_checkpoint_handoff_imports_reference_training(config_dir, tmp_path,
+                                                       _torch19_foreach_shim):
+    """Reverse handoff: the reference's own train loop runs steps 1-4 and
+    writes its AUTHENTIC 5-tuple via _save_to_checkpoint (reference
+    training/utils.py:43-51, triggered by impl.checkpoint.name at the final
+    step, training.py:330-335); that .pth is imported — weights + BN
+    running stats + SGD momentum through import_torch_sgd_state's
+    parameter-enumeration mapping + the step — and our train() resumes
+    steps 5-8, coinciding with an uninterrupted 8-step run of this
+    framework at fp64 rtol 1e-8 (params AND BN stats). Together with the
+    forward test above this closes mid-run migration in BOTH directions;
+    the ResNet-family conversion behind the tools is covered bitwise in
+    test_pretrained.py / test_cli_chain.py (fp64 ResNet trajectories are
+    infeasible on this one-core host: XLA-CPU f64 convs take a naive
+    non-Eigen path)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from fullbatchtraining_tpu.config import load_config
+    from fullbatchtraining_tpu.data import construct_databundle
+    from fullbatchtraining_tpu.models import initialize_model
+    from fullbatchtraining_tpu.parallel import make_mesh
+    from fullbatchtraining_tpu.pretrained import import_torch_sgd_state
+    from fullbatchtraining_tpu.training.optimizers import SGDState
+    from fullbatchtraining_tpu.training.training import (make_train_functions,
+                                                         train)
+    from fullbatchtraining_tpu.training.utils import save_checkpoint
+
+    base = [
+        "model=linear", "hyp=fb1", "hyp.scheduler=cosine-decay",
+        "data.size=64", "data.path=/tmp/__traj_nodata__", "data.batch_size=16",
+        "data.normalize=False", "data.augmentations_train=",
+        "data.augmentations_val=", "hyp.warmup=3", "hyp.sub_batch=16",
+        "seed=0", "impl.dtype=float64", "impl.accumulation_dtype=float64",
+        "impl.mixed_precision=False", "impl.validate_every_nth_step=4",
+        "name=rhandoff",
+    ]
+    (tmp_path / "checkpoints").mkdir()
+    cfg8 = load_config(config_dir, overrides=base + ["hyp.steps=8"])
+
+    with jax.enable_x64(True):
+        mesh = make_mesh(cfg8.impl.setup, devices=np.asarray(jax.devices()[:1]))
+        bundle = construct_databundle(cfg8.data, cfg8.impl, cfg8.hyp, seed=0)
+        model = _jax_bn_model(bundle.classes)
+        variables = initialize_model(model, jax.random.key(0), bundle.pixels,
+                                     bundle.channels)
+        params0 = jax.device_get(variables["params"])
+
+        # the uninterrupted oracle: 8 steps in this framework
+        state8, _ = train(model, bundle, mesh, cfg8)
+        final8 = jax.device_get(state8.params)
+        bn8 = jax.device_get(state8.batch_stats)
+
+    # ---- the reference trains steps 1-4 and saves its own checkpoint ------
+    reftrain = _load_reference_training()
+    tmodel = _torch_bn_model(params0, bundle.classes)
+    cfgref = load_config(config_dir, overrides=base + ["hyp.steps=4"])
+    cfgref.impl.checkpoint.name = "rhandoff.pth"
+    cfgref.original_cwd = str(tmp_path)
+    trainloader = _torch_loader(bundle.train.images, bundle.train.labels,
+                                cfgref.data.batch_size, drop_last=True)
+    validloader = _torch_loader(bundle.valid.images, bundle.valid.labels,
+                                cfgref.data.batch_size, drop_last=False)
+    setup = {"device": torch.device("cpu"), "dtype": torch.float64}
+    reftrain.train(tmodel, trainloader, validloader, setup, cfgref)
+    pth = tmp_path / "checkpoints" / "rhandoff.pth"
+    assert pth.exists()  # the reference's own _save_to_checkpoint wrote it
+
+    # ---- import the authentic 5-tuple (TinyBNNet key mapping; the family
+    # mappers behind the tools are covered bitwise in test_pretrained.py) ---
+    optim_state, model_state, scheduler_state, _scaler, step = torch.load(
+        pth, map_location="cpu", weights_only=False)
+    assert step == 4
+
+    sd = {k: np.asarray(v.detach().numpy()) for k, v in model_state.items()}
+
+    def from_torch_params(d):
+        return {
+            "c1": {"kernel": d["c1.weight"].transpose(2, 3, 1, 0)},
+            "c2": {"kernel": d["c2.weight"].transpose(2, 3, 1, 0)},
+            "b1": {"scale": d["b1.weight"], "bias": d["b1.bias"]},
+            "b2": {"scale": d["b2.weight"], "bias": d["b2.bias"]},
+            "linear": {"kernel": d["linear.weight"].T,
+                       "bias": d["linear.bias"]},
+        }
+
+    order = ["c1.weight", "b1.weight", "b1.bias", "c2.weight", "b2.weight",
+             "b2.bias", "linear.weight", "linear.bias"]  # registration order
+    assert order == [k for k, _ in tmodel.named_parameters()]
+    momentum_by_key = import_torch_sgd_state(optim_state, order)
+    assert set(momentum_by_key) == set(order)  # buffers exist after 4 steps
+
+    with jax.enable_x64(True):
+        fns = make_train_functions(model, bundle, mesh, cfg8)
+        template = fns.init_state(variables)
+        as_leaves = lambda tree: jax.tree.map(jnp.asarray, tree)  # noqa: E731
+        state4 = template.replace(
+            step=jnp.asarray(step, jnp.int32),
+            params=as_leaves(from_torch_params(sd)),
+            batch_stats={t: {"mean": jnp.asarray(sd[f"{t}.running_mean"]),
+                             "var": jnp.asarray(sd[f"{t}.running_var"])}
+                         for t in ("b1", "b2")},
+            opt_state=SGDState(
+                momentum=as_leaves(from_torch_params(momentum_by_key)),
+                count=jnp.asarray(step, jnp.int32)))
+        cfg8r = load_config(config_dir, overrides=base + ["hyp.steps=8"])
+        cfg8r.impl.checkpoint.name = "rhandoff.ckpt"
+        cfg8r.original_cwd = str(tmp_path)
+        save_checkpoint(state4, cfg8r,
+                        file=tmp_path / "checkpoints" / "rhandoff.ckpt")
+        state8r, _ = train(model, bundle, mesh, cfg8r)
+        final8r = jax.device_get(state8r.params)
+        bn8r = jax.device_get(state8r.batch_stats)
+
+    for (pa, va), (pb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(final8),
+            jax.tree_util.tree_leaves_with_path(final8r), strict=True):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   rtol=1e-8, atol=1e-10, err_msg=str(pa))
+    for (pa, va), (pb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(bn8),
+            jax.tree_util.tree_leaves_with_path(bn8r), strict=True):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   rtol=1e-8, atol=1e-10, err_msg=str(pa))
