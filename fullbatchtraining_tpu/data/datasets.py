@@ -79,7 +79,11 @@ def download_dataset(name: str, base: Path) -> bool:
                         "manually.", url, err, base)
             return False
         tmp.replace(archive)
-    digest = hashlib.md5(archive.read_bytes()).hexdigest()
+    md5sum = hashlib.md5()
+    with open(archive, "rb") as handle:  # chunked: archives are 100s of MB
+        while chunk := handle.read(1 << 20):
+            md5sum.update(chunk)
+    digest = md5sum.hexdigest()
     if digest != md5:
         raise RuntimeError(
             f"MD5 mismatch for {archive}: got {digest}, expected {md5}. "
@@ -183,15 +187,26 @@ def _synthetic(name: str, size: int, pixels: int, channels: int, classes: int,
 
 
 def _load_tiny_imagenet(base: Path) -> tuple | None:
+    """None means ABSENT or INCOMPLETE (caller may download / re-extract);
+    a present-but-unreadable tree raises instead, so a missing soft
+    dependency never triggers a pointless 250MB re-download."""
     folder = base / "tiny-imagenet-200"
-    if not folder.exists():
+    manifest = folder / "wnids.txt"
+    annotations = folder / "val" / "val_annotations.txt"
+    if not (manifest.exists() and annotations.exists()):
+        # absent, or half-extracted after a crash: the caller's
+        # download_dataset() re-extracts the md5-verified archive in place
         return None
-    wnids = sorted((folder / "wnids.txt").read_text().split())
+    wnids = sorted(manifest.read_text().split())
     wnid_to_label = {w: i for i, w in enumerate(wnids)}
     try:
         from PIL import Image
-    except ImportError:
-        return None
+    except ImportError as _err:
+        raise ImportError(
+            f"TinyImageNet is present under {folder} but decoding its JPEGs "
+            "needs Pillow, which is not installed. "
+            "pip install pillow  (or: pip install fullbatchtraining-tpu[data])"
+        ) from _err
 
     def read_img(path):
         img = Image.open(path).convert("RGB")
@@ -229,10 +244,6 @@ def _load_imagefolder(base: Path, pixels: int, cache_tag: str,
     """
     if not (base / "train").exists():
         return None
-    try:
-        from PIL import Image
-    except ImportError:
-        return None
 
     cache = base / f"_fbt_cache_{cache_tag}_{pixels}"
     limit = None
@@ -248,6 +259,14 @@ def _load_imagefolder(base: Path, pixels: int, cache_tag: str,
         # walk is skipped entirely on a cache hit (ImageNet: ~1.3M stats).
         if lbl_file.exists() and img_file.exists():
             return np.load(img_file, mmap_mode="r"), np.load(lbl_file)
+        try:  # only a cache MISS decodes; the PIL fallback covers files the
+            from PIL import Image  # native libjpeg engine declines
+        except ImportError as _err:
+            raise ImportError(
+                f"An ImageFolder tree is present under {base} but building "
+                "its decode cache needs Pillow, which is not installed. "
+                "pip install pillow  (or: pip install "
+                "fullbatchtraining-tpu[data])") from _err
         split_dir = base / split
         classes = sorted(d.name for d in split_dir.iterdir() if d.is_dir())
         files, labels = [], []

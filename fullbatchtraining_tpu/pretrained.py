@@ -67,6 +67,60 @@ _DOWNSAMPLE_SEQ_INDICES = {
     "preact-C": {"conv": 2},
 }
 
+# flax (collection, leaf name) -> torch state-dict key suffix; shared by the
+# ResNet mapper and every family mapper below.
+_SUFFIX_MAP = {
+    ("params", "kernel"): "weight", ("params", "scale"): "weight",
+    ("params", "bias"): "bias",
+    ("batch_stats", "mean"): "running_mean",
+    ("batch_stats", "var"): "running_var",
+}
+
+
+def _checked_suffix(collection: str, leaf: str, parts) -> str:
+    try:
+        return _SUFFIX_MAP[(collection, leaf)]
+    except KeyError:
+        if leaf == "alpha":
+            raise ValueError(
+                "SkipInit ResNets have no reference state-dict "
+                "correspondence: the reference's `isinstance(block, "
+                "BasicBlock)` bug (resnets.py:53-56, isinstance on a class) "
+                "means its runtime skipinit model keeps post-activation "
+                "blocks with Skipper layers in the norm slots, while this "
+                "framework implements the intended pre-activation SkipInit "
+                "blocks (models/resnets.py module docstring) — the two "
+                "parameterizations are structurally different, so "
+                "checkpoints cannot be translated in either direction."
+            ) from None
+        raise KeyError(
+            f"No torch suffix for leaf {leaf!r} at {'/'.join(parts)}") from None
+
+
+def _to_torch_layout(value: np.ndarray, leaf: str) -> np.ndarray:
+    """flax leaf -> torch layout: conv kernels HWIO -> OIHW, linear weights
+    (I, O) -> (O, I), WSConv2d gains (C,) -> (C, 1, 1, 1)."""
+    if leaf == "kernel":
+        if value.ndim == 4:
+            return value.transpose(3, 2, 0, 1)
+        if value.ndim == 2:
+            return value.T
+    elif leaf == "gain":
+        return value.reshape(-1, 1, 1, 1)
+    return value
+
+
+def _from_torch_layout(value: np.ndarray, leaf: str) -> np.ndarray:
+    """Inverse of :func:`_to_torch_layout`."""
+    if leaf == "kernel":
+        if value.ndim == 4:
+            return value.transpose(2, 3, 1, 0)
+        if value.ndim == 2:
+            return value.T
+    elif leaf == "gain":
+        return value.reshape(-1)
+    return value
+
 
 def _torch_key_for(path_parts: list[str], leaf: str, collection: str,
                    downsample_indices: dict | None = None) -> str | None:
@@ -80,12 +134,7 @@ def _torch_key_for(path_parts: list[str], leaf: str, collection: str,
     variant); classifier is ``fc``.
     """
     name = path_parts[0]
-    suffix_map = {
-        ("params", "kernel"): "weight", ("params", "scale"): "weight",
-        ("params", "bias"): "bias",
-        ("batch_stats", "mean"): "running_mean", ("batch_stats", "var"): "running_var",
-    }
-    suffix = suffix_map[(collection, leaf)]
+    suffix = _checked_suffix(collection, leaf, [*path_parts, leaf])
 
     if name == "fc":
         return f"fc.{suffix}"
@@ -128,13 +177,7 @@ def convert_torch_resnet(model_state: dict, variables: dict) -> dict:
                 def shape_ok(v):
                     if v is None:
                         return False
-                    if parts[-1] != "kernel":
-                        return v.shape == leaf.shape
-                    if v.ndim == 4:
-                        return v.transpose(2, 3, 1, 0).shape == leaf.shape
-                    if v.ndim == 2:
-                        return v.T.shape == leaf.shape
-                    return v.shape == leaf.shape
+                    return _from_torch_layout(v, parts[-1]).shape == leaf.shape
 
                 # Sequential indices differ by downsample variant:
                 # A: (conv,) -> 0 ; B: (conv, norm) -> 0, 1 ; C: (pool, conv,
@@ -152,11 +195,7 @@ def convert_torch_resnet(model_state: dict, variables: dict) -> dict:
                 missing.append("/".join(parts))
                 new_leaves.append(leaf)
                 continue
-            if parts[-1] == "kernel":
-                if value.ndim == 4:  # OIHW -> HWIO
-                    value = value.transpose(2, 3, 1, 0)
-                elif value.ndim == 2:  # (O, I) -> (I, O)
-                    value = value.T
+            value = _from_torch_layout(value, parts[-1])
             assert value.shape == leaf.shape, \
                 f"{'/'.join(parts)}: {value.shape} != {leaf.shape}"
             # jnp.array (copy=True): on the CPU backend jnp.asarray would
@@ -210,12 +249,8 @@ def export_torch_resnet(variables: dict, downsample: str = "C",
                     "(the reference release format, hubconf.py:9-16).")
             # dtype preserved: fp32 states export fp32 (the release format);
             # fp64 trajectory-oracle states round-trip exactly
-            value = np.asarray(jax.device_get(leaf))
-            if parts[-1] == "kernel":
-                if value.ndim == 4:  # HWIO -> OIHW
-                    value = value.transpose(3, 2, 0, 1)
-                elif value.ndim == 2:  # (I, O) -> (O, I)
-                    value = value.T
+            value = _to_torch_layout(np.asarray(jax.device_get(leaf)),
+                                     parts[-1])
             # order="C": contiguous copy that PRESERVES 0-d shapes
             # (ascontiguousarray would promote scalars to (1,))
             state_dict[key] = np.array(value, order="C")
@@ -275,19 +310,11 @@ def save_reference_checkpoint(variables: dict, file, downsample: str = "C",
 # and the leaf name removed, and returns the reference state-dict key.
 # ---------------------------------------------------------------------------
 
-_SUFFIX_MAP = {
-    ("params", "kernel"): "weight", ("params", "scale"): "weight",
-    ("params", "bias"): "bias",
-    ("batch_stats", "mean"): "running_mean",
-    ("batch_stats", "var"): "running_var",
-}
-
-
 def _densenet_key(parts, leaf, collection):
     """Reference DenseNet key (densenets.py: torchvision layout —
     features.conv0/norm0 stem, denseblock{i}.denselayer{j}.{norm,conv}{1,2},
     transition{i}.{norm,conv}, norm5, classifier)."""
-    suffix = _SUFFIX_MAP[(collection, leaf)]
+    suffix = _checked_suffix(collection, leaf, parts)
     name = parts[0]
     if name == "classifier":
         return f"classifier.{suffix}"
@@ -322,7 +349,7 @@ def _vgg_key_factory(vgg_name: str, head: str):
             idx += 1
 
     def mapper(parts, leaf, collection):
-        suffix = _SUFFIX_MAP[(collection, leaf)]
+        suffix = _checked_suffix(collection, leaf, parts)
         name = parts[0]
         if name == "classifier":
             if head == "CIFAR":
@@ -363,7 +390,7 @@ def _nfnet_key(parts, leaf, collection):
 def _pyramidnet_key(parts, leaf, collection):
     """Reference PyramidNet key (pyramidnets.py: layer{s} Sequentials of
     blocks with conv/bn modules named 1:1; top-level conv1/bn_final/fc)."""
-    suffix = _SUFFIX_MAP[(collection, leaf)]
+    suffix = _checked_suffix(collection, leaf, parts)
     name = parts[0]
     match = re.fullmatch(r"layer(\d+)_block(\d+)", name)
     if match:
@@ -414,14 +441,8 @@ def export_torch_state(variables: dict, cfg_model, step: int = 0) -> dict:
             parts = [p.key for p in path]
             logical = [p for p in parts[:-1] if p != "bn"]
             key = mapper(logical, parts[-1], collection)
-            value = np.asarray(jax.device_get(leaf_val))
-            if parts[-1] == "kernel":
-                if value.ndim == 4:  # HWIO -> OIHW
-                    value = value.transpose(3, 2, 0, 1)
-                elif value.ndim == 2:  # (I, O) -> (O, I)
-                    value = value.T
-            elif parts[-1] == "gain":  # WSConv2d gain: (C,) -> (C, 1, 1, 1)
-                value = value.reshape(-1, 1, 1, 1)
+            value = _to_torch_layout(np.asarray(jax.device_get(leaf_val)),
+                                     parts[-1])
             # order="C" (NOT ascontiguousarray, which promotes 0-d scalars
             # like NFNet skip_gain to shape (1,))
             state_dict[key] = np.array(value, order="C")
@@ -456,14 +477,8 @@ def convert_torch_state(model_state: dict, variables: dict, cfg_model) -> dict:
             if key not in model_state:
                 raise KeyError(f"Checkpoint is missing {key} "
                                f"(for {'/'.join(parts)})")
-            value = np.asarray(model_state[key])
-            if parts[-1] == "kernel":
-                if value.ndim == 4:  # OIHW -> HWIO
-                    value = value.transpose(2, 3, 1, 0)
-                elif value.ndim == 2:  # (O, I) -> (I, O)
-                    value = value.T
-            elif parts[-1] == "gain":  # (C, 1, 1, 1) -> (C,)
-                value = value.reshape(-1)
+            value = _from_torch_layout(np.asarray(model_state[key]),
+                                       parts[-1])
             assert value.shape == leaf.shape, \
                 f"{'/'.join(parts)}: {value.shape} != {leaf.shape}"
             # copy (see convert_torch_resnet): never alias torch storage
@@ -733,6 +748,15 @@ def import_reference_training_checkpoint(file, cfg, state, schedule=None):
     state = state.replace(params=converted["params"],
                           batch_stats=converted["batch_stats"],
                           step=jnp.asarray(step, jnp.int32))
+    if state.ema_params is not None:
+        # Re-seed EMA from the LOADED weights, as the reference does on
+        # resume (training/training.py:63 loads into the model, :74
+        # deepcopies it into ema_model) — otherwise evaluate_ema runs would
+        # pair checkpoint weights with the template's random-init EMA.
+        state = state.replace(
+            ema_params=jax.tree.map(jnp.array, converted["params"]),
+            ema_batch_stats=jax.tree.map(jnp.array,
+                                         converted["batch_stats"]))
 
     momentum_importable = (
         isinstance(state.opt_state, SGDState)

@@ -432,3 +432,18 @@ def test_bake_transform_order_matters(config_dir, tmp_path):
     assert crop_first.baked.dir.name != policy_first.baked.dir.name
     assert not np.array_equal(crop_first.baked.round(0).images,
                               policy_first.baked.round(0).images)
+
+
+def test_tiny_imagenet_half_extracted_treated_as_absent(tmp_path):
+    """A tree left half-extracted by a crash (folder exists, manifest or
+    annotations missing) must read as ABSENT (None) so the caller's
+    download_dataset() re-extracts the md5-verified archive in place,
+    instead of raising FileNotFoundError."""
+    from fullbatchtraining_tpu.data.datasets import _load_tiny_imagenet
+
+    folder = tmp_path / "tiny-imagenet-200"
+    (folder / "train").mkdir(parents=True)
+    assert _load_tiny_imagenet(tmp_path) is None  # no wnids.txt
+
+    (folder / "wnids.txt").write_text("n01443537\n")
+    assert _load_tiny_imagenet(tmp_path) is None  # no val_annotations.txt

@@ -427,3 +427,72 @@ def test_import_training_checkpoint_roundtrip(tmp_path):
             assert pa == pb
             np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
                                           err_msg=f"{tag}:{pa}")
+
+
+def test_import_seeds_ema_from_loaded_weights(tmp_path):
+    """The reference seeds its EMA model by deepcopying the model AFTER the
+    checkpoint load (training/training.py:63 loads, :74 deepcopies), so the
+    importer must re-seed ema_params/ema_batch_stats from the loaded weights
+    rather than leave the template's init behind."""
+    import jax
+    import jax.numpy as jnp
+
+    from fullbatchtraining_tpu.config import load_config
+    from fullbatchtraining_tpu.models import construct_model, initialize_model
+    from fullbatchtraining_tpu.pretrained import (
+        export_reference_training_checkpoint, import_reference_training_checkpoint)
+    from fullbatchtraining_tpu.training.optimizers import SGDState
+    from fullbatchtraining_tpu.training.training import TrainState
+
+    cfg = load_config(pathlib.Path(__file__).resolve().parent.parent / "config",
+                      overrides=["model=resnet20", "model.width=8", "hyp=fb1",
+                                 "hyp.steps=8", "hyp.evaluate_ema=True"])
+    model = construct_model(cfg.model, 3, 10)
+    variables = initialize_model(model, jax.random.key(3), pixels=32, channels=3)
+    src = TrainState(step=jnp.asarray(2, jnp.int32),
+                     params=variables["params"],
+                     batch_stats=variables["batch_stats"],
+                     opt_state=SGDState(
+                         momentum=jax.tree.map(jnp.zeros_like, variables["params"]),
+                         count=jnp.asarray(2, jnp.int32)))
+    file = export_reference_training_checkpoint(src, cfg, tmp_path / "ema.pth")
+
+    ones = lambda t: jax.tree.map(jnp.ones_like, t)  # noqa: E731
+    template = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=ones(variables["params"]),
+        batch_stats=ones(variables["batch_stats"]),
+        opt_state=SGDState(momentum=ones(variables["params"]),
+                           count=jnp.zeros((), jnp.int32)),
+        ema_params=ones(variables["params"]),
+        ema_batch_stats=ones(variables["batch_stats"]))
+    restored, _ = import_reference_training_checkpoint(file, cfg, template)
+    for a, b in zip(jax.tree.leaves(restored.ema_params),
+                    jax.tree.leaves(restored.params), strict=True):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(restored.ema_batch_stats),
+                    jax.tree.leaves(restored.batch_stats), strict=True):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_skipinit_interop_refuses_cleanly():
+    """SkipInit ResNets are structurally incompatible with the reference's
+    runtime skipinit layout (its isinstance-on-a-class bug, resnets.py:53-56,
+    keeps post-act blocks with Skipper norm slots); both directions must fail
+    with the explanatory error, not an opaque KeyError."""
+    import jax
+
+    from fullbatchtraining_tpu.config import load_config
+    from fullbatchtraining_tpu.models import construct_model, initialize_model
+    from fullbatchtraining_tpu.pretrained import (convert_torch_resnet,
+                                                  export_torch_resnet)
+
+    cfg = load_config(pathlib.Path(__file__).resolve().parent.parent / "config",
+                      overrides=["model=resnet20", "model.width=4",
+                                 "model.normalization=skipinit"])
+    model = construct_model(cfg.model, 3, 10)
+    variables = initialize_model(model, jax.random.key(0), pixels=32, channels=3)
+    with pytest.raises(ValueError, match="SkipInit"):
+        export_torch_resnet(variables)
+    with pytest.raises(ValueError, match="SkipInit"):
+        convert_torch_resnet({}, variables)
