@@ -173,8 +173,8 @@ def _bake_native(train, aug_cfg, cfg_db, rounds, seed, images) -> np.ndarray | N
     pad, flip_p = 0, 0.0
     if "RandomCrop" in aug:
         size, pad = crop_spec(aug["RandomCrop"])
-        if size != train.images.shape[1]:
-            return None  # size-changing crops use the JAX path
+        if (size != train.images.shape[1] or size != train.images.shape[2]):
+            return None  # size-changing / non-square crops use the JAX path
     if "RandomHorizontalFlip" in aug:
         flip_p = float(aug["RandomHorizontalFlip"])
 

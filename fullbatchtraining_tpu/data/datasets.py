@@ -58,6 +58,7 @@ def download_dataset(name: str, base: Path) -> bool:
         # skip the doomed socket attempt entirely in zero-egress sandboxes
         return False
     url, md5 = _ARCHIVES[name]
+    import http.client
     import urllib.error
     import urllib.request
 
@@ -72,7 +73,9 @@ def download_dataset(name: str, base: Path) -> bool:
                     open(tmp, "wb") as out:
                 while chunk := response.read(1 << 20):
                     out.write(chunk)
-        except (urllib.error.URLError, OSError) as err:
+        except (urllib.error.URLError, http.client.HTTPException,
+                OSError) as err:  # HTTPException: e.g. IncompleteRead when
+            # the server drops the connection mid-body (not an OSError)
             tmp.unlink(missing_ok=True)
             log.warning("Could not download %s (%s) - this environment may "
                         "have no network egress; place the raw files under %s "
@@ -103,6 +106,11 @@ def download_dataset(name: str, base: Path) -> bool:
         with zipfile.ZipFile(archive) as zf:
             zf.extractall(base)
     return True
+
+
+# torchvision datasets/folder.py IMG_EXTENSIONS
+_IMG_EXTENSIONS = {".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif",
+                   ".tiff", ".webp"}
 
 
 class ArrayDataset:
@@ -157,8 +165,13 @@ def _synthetic(name: str, size: int, pixels: int, channels: int, classes: int,
     """
     cache = Path("/tmp/fbt_synthetic") / f"{name}_{size}_{pixels}_{channels}_{classes}_{seed}.npz"
     if cache.exists():
-        data = np.load(cache)
-        return ((data["tx"], data["ty"]), (data["vx"], data["vy"]))
+        import zipfile
+        try:
+            data = np.load(cache)
+            return ((data["tx"], data["ty"]), (data["vx"], data["vy"]))
+        except (OSError, ValueError, KeyError, EOFError, zipfile.BadZipFile):
+            log.warning("Corrupt synthetic cache %s - regenerating.", cache)
+            cache.unlink(missing_ok=True)
 
     rng = np.random.default_rng(seed)
     patterns = rng.uniform(0, 255, (classes, pixels, pixels, channels)).astype(np.float32)
@@ -180,16 +193,29 @@ def _synthetic(name: str, size: int, pixels: int, channels: int, classes: int,
     train, valid = make(size, seed + 1), make(max(classes, min(size // 5, 10_000)), seed + 2)
     try:
         cache.parent.mkdir(parents=True, exist_ok=True)
-        np.savez(cache, tx=train[0], ty=train[1], vx=valid[0], vy=valid[1])
+        # pid-unique temp + atomic rename (the download_dataset pattern): a
+        # kill mid-write must never leave a corrupt cache at the final path
+        tmp = cache.with_suffix(f".{os.getpid()}.part")
+        with open(tmp, "wb") as handle:
+            np.savez(handle, tx=train[0], ty=train[1], vx=valid[0], vy=valid[1])
+        tmp.replace(cache)
     except OSError:
         pass
     return train, valid
 
 
+_TINY_SIDE = 64  # TinyImageNet images are 64x64
+
+
 def _load_tiny_imagenet(base: Path) -> tuple | None:
     """None means ABSENT or INCOMPLETE (caller may download / re-extract);
     a present-but-unreadable tree raises instead, so a missing soft
-    dependency never triggers a pointless 250MB re-download."""
+    dependency never triggers a pointless 250MB re-download.
+
+    The ~110k JPEGs decode once through the native libjpeg batch engine
+    (PIL fallback per declined file) into a memmap cache beside the tree —
+    the _load_imagefolder pattern — so repeat startups cost a cache mmap,
+    not minutes of single-core PIL decode."""
     folder = base / "tiny-imagenet-200"
     manifest = folder / "wnids.txt"
     annotations = folder / "val" / "val_annotations.txt"
@@ -197,34 +223,65 @@ def _load_tiny_imagenet(base: Path) -> tuple | None:
         # absent, or half-extracted after a crash: the caller's
         # download_dataset() re-extracts the md5-verified archive in place
         return None
+    cache = folder / "_fbt_cache"
+
+    def decode_split(tag, files, labels):
+        img_file = cache / f"{tag}_images.npy"
+        lbl_file = cache / f"{tag}_labels.npy"
+        # label file = completion marker, written last (self-healing rebuild)
+        if lbl_file.exists() and img_file.exists():
+            return np.load(img_file, mmap_mode="r"), np.load(lbl_file)
+        try:
+            from PIL import Image
+        except ImportError as _err:
+            raise ImportError(
+                f"TinyImageNet is present under {folder} but decoding its "
+                "JPEGs needs Pillow, which is not installed. "
+                "pip install pillow  (or: pip install "
+                "fullbatchtraining-tpu[data])") from _err
+
+        def read_img(path):
+            img = Image.open(path).convert("RGB")
+            if img.size != (_TINY_SIDE, _TINY_SIDE):
+                img = img.resize((_TINY_SIDE, _TINY_SIDE), Image.BILINEAR)
+            return np.asarray(img, np.uint8)
+
+        from .native import decode_resize_jpeg_batch
+
+        cache.mkdir(parents=True, exist_ok=True)
+        images = np.lib.format.open_memmap(
+            img_file, mode="w+", dtype=np.uint8,
+            shape=(len(files), _TINY_SIDE, _TINY_SIDE, 3))
+        chunk_size = 1024
+        for start in range(0, len(files), chunk_size):
+            chunk = files[start:start + chunk_size]
+            native = decode_resize_jpeg_batch(
+                [f.read_bytes() for f in chunk], _TINY_SIDE,
+                out=images[start:start + len(chunk)])
+            if native is None:
+                for i, f in enumerate(chunk):
+                    images[start + i] = read_img(f)
+            else:
+                for i in np.flatnonzero(~native[1]):
+                    images[start + i] = read_img(chunk[i])
+        images.flush()
+        np.save(lbl_file, np.asarray(labels, np.int32))
+        return images, np.asarray(labels, np.int32)
+
     wnids = sorted(manifest.read_text().split())
     wnid_to_label = {w: i for i, w in enumerate(wnids)}
-    try:
-        from PIL import Image
-    except ImportError as _err:
-        raise ImportError(
-            f"TinyImageNet is present under {folder} but decoding its JPEGs "
-            "needs Pillow, which is not installed. "
-            "pip install pillow  (or: pip install fullbatchtraining-tpu[data])"
-        ) from _err
-
-    def read_img(path):
-        img = Image.open(path).convert("RGB")
-        return np.asarray(img, np.uint8)
-
-    train_imgs, train_labels = [], []
+    train_files, train_labels = [], []
     for wnid in wnids:
         for img_path in sorted((folder / "train" / wnid / "images").glob("*.JPEG")):
-            train_imgs.append(read_img(img_path))
+            train_files.append(img_path)
             train_labels.append(wnid_to_label[wnid])
-    val_imgs, val_labels = [], []
-    ann = (folder / "val" / "val_annotations.txt").read_text().strip().splitlines()
-    for line in ann:
+    val_files, val_labels = [], []
+    for line in annotations.read_text().strip().splitlines():
         fname, wnid = line.split("\t")[:2]
-        val_imgs.append(read_img(folder / "val" / "images" / fname))
+        val_files.append(folder / "val" / "images" / fname)
         val_labels.append(wnid_to_label[wnid])
-    return ((np.stack(train_imgs), np.asarray(train_labels)),
-            (np.stack(val_imgs), np.asarray(val_labels)))
+    return (decode_split("train", train_files, train_labels),
+            decode_split("val", val_files, val_labels))
 
 
 def _load_imagefolder(base: Path, pixels: int, cache_tag: str,
@@ -247,7 +304,11 @@ def _load_imagefolder(base: Path, pixels: int, cache_tag: str,
 
     cache = base / f"_fbt_cache_{cache_tag}_{pixels}"
     limit = None
-    if dryrun and not (cache / "train_labels.npy").exists():
+    if dryrun and not all((cache / f"{s}_labels.npy").exists()
+                          for s in ("train", "val")):
+        # BOTH splits must be cached before a dryrun skips the 256-file
+        # cache, else an interrupted full build makes the smoke test decode
+        # an entire split
         cache = base / f"_fbt_cache_{cache_tag}_{pixels}_dryrun"
         limit = 256
 
@@ -272,6 +333,11 @@ def _load_imagefolder(base: Path, pixels: int, cache_tag: str,
         files, labels = [], []
         for label, cls in enumerate(classes):
             for f in sorted((split_dir / cls).iterdir()):
+                # torchvision ImageFolder semantics: only image FILES count
+                # (IMG_EXTENSIONS filter) — a stray README/.DS_Store/subdir
+                # must not abort a multi-hour decode
+                if f.suffix.lower() not in _IMG_EXTENSIONS or not f.is_file():
+                    continue
                 files.append(f)
                 labels.append(label)
             if limit is not None and len(files) >= limit:

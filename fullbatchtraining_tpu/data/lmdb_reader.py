@@ -157,6 +157,9 @@ class MdbFile:
                     if i > 0 and nkey > key:
                         break
                     child = lo | (hi << 16) | (nflags << 32)
+                if child is None:  # zero-node branch page
+                    raise CorruptDatabaseError(
+                        f"{self.path}: empty branch page {pgno}")
                 pgno = child
             elif flags & P_LEAF:
                 for noff in ptrs:
@@ -188,6 +191,9 @@ class MdbFile:
             flags = self._page_flags(off)
             ptrs = self._node_offsets(off)
             if flags & P_BRANCH:
+                if idx >= len(ptrs):  # zero-node branch page
+                    raise CorruptDatabaseError(
+                        f"{self.path}: empty branch page {pgno}")
                 if idx + 1 < len(ptrs):
                     stack.append((pgno, idx + 1))
                 lo, hi, nflags, _, _ = self._node(off, ptrs[idx])

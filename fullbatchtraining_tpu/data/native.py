@@ -16,7 +16,10 @@ pure-Python/JAX fallback so everything degrades gracefully when no compiler
 from __future__ import annotations
 
 import ctypes
+import functools
+import hashlib
 import logging
+import platform
 import subprocess
 from pathlib import Path
 
@@ -40,13 +43,35 @@ def _find_src(src_name: str) -> Path:
     return _NATIVE_DIRS[0] / src_name  # nonexistent: loader degrades to JAX
 
 
+@functools.lru_cache
+def _cpu_tag() -> str:
+    """Host-CPU fingerprint baked into the cached .so filename.
+
+    ``-march=native`` output is CPU-specific: on a shared filesystem with
+    heterogeneous hosts (multi-host NFS installs — bake_dataset supports
+    jax.process_count()>1), a build from an AVX-512 host would SIGILL on an
+    older CPU that passes the mtime freshness check. Keying the filename by
+    the CPU model + ISA flags makes each distinct CPU build its own."""
+    text = platform.machine()
+    try:
+        for line in Path("/proc/cpuinfo").read_text().splitlines():
+            if line.startswith(("model name", "flags")):
+                text += line
+                if line.startswith("flags"):
+                    break
+    except OSError:
+        pass
+    return hashlib.md5(text.encode()).hexdigest()[:10]
+
+
 class _NativeLib:
     """Build-on-first-use loader for one shared library."""
 
     def __init__(self, src_name: str, lib_name: str, abi_symbol: str,
                  extra_flags: tuple[str, ...] = ()):
         self.src = _find_src(src_name)
-        self.lib_path = _LIB_DIR / lib_name
+        stem, suffix = lib_name.rsplit(".", 1)
+        self.lib_path = _LIB_DIR / f"{stem}.{_cpu_tag()}.{suffix}"
         self.abi_symbol = abi_symbol
         self.extra_flags = extra_flags
         self._lib = None
@@ -99,7 +124,11 @@ class _NativeLib:
             log.warning("Native engine load failed for %s (%s).",
                         self.lib_path.name, err)
             return None
-        if getattr(lib, self.abi_symbol)() != 1:
+        try:
+            abi = getattr(lib, self.abi_symbol)()
+        except AttributeError:  # stale/foreign .so without the ABI symbol
+            abi = None
+        if abi != 1:
             log.warning("Native engine ABI mismatch for %s; "
                         "using the fallback path.", self.lib_path.name)
             return None

@@ -447,3 +447,86 @@ def test_tiny_imagenet_half_extracted_treated_as_absent(tmp_path):
 
     (folder / "wnids.txt").write_text("n01443537\n")
     assert _load_tiny_imagenet(tmp_path) is None  # no val_annotations.txt
+
+
+def _write_tiny_tree(root, wnids=("n01443537", "n01629819"), per_class=2):
+    """A minimal valid tiny-imagenet-200 tree with real 64x64 JPEGs."""
+    PIL = pytest.importorskip("PIL.Image")
+    src = root / "tiny-imagenet-200"
+    (src / "val" / "images").mkdir(parents=True)
+    (src / "wnids.txt").write_text("\n".join(wnids) + "\n")
+    rng = np.random.default_rng(7)
+
+    def write_jpeg(path):
+        arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        PIL.fromarray(arr).save(path, "JPEG")
+
+    ann = []
+    for i, wnid in enumerate(wnids):
+        folder = src / "train" / wnid / "images"
+        folder.mkdir(parents=True)
+        for j in range(per_class):
+            write_jpeg(folder / f"{wnid}_{j}.JPEG")
+        write_jpeg(src / "val" / "images" / f"val_{i}.JPEG")
+        ann.append(f"val_{i}.JPEG\t{wnid}\t0\t0\t10\t10")
+    (src / "val" / "val_annotations.txt").write_text("\n".join(ann) + "\n")
+    return src
+
+
+def test_tiny_imagenet_memmap_cache(tmp_path):
+    """The decode runs ONCE into a memmap cache beside the tree; later loads
+    mmap the cache without touching the JPEGs (startup-latency fix for the
+    one-core host)."""
+    from fullbatchtraining_tpu.data.datasets import _load_tiny_imagenet
+
+    src = _write_tiny_tree(tmp_path)
+    (tx, ty), (vx, vy) = _load_tiny_imagenet(tmp_path)
+    assert tx.shape == (4, 64, 64, 3) and vx.shape == (2, 64, 64, 3)
+    assert (src / "_fbt_cache" / "train_labels.npy").exists()
+
+    # delete every JPEG: the cache alone must serve the second load
+    for f in src.rglob("*.JPEG"):
+        f.unlink()
+    (tx2, ty2), (vx2, vy2) = _load_tiny_imagenet(tmp_path)
+    np.testing.assert_array_equal(np.asarray(tx), np.asarray(tx2))
+    np.testing.assert_array_equal(ty, ty2)
+    np.testing.assert_array_equal(np.asarray(vx), np.asarray(vx2))
+    np.testing.assert_array_equal(vy, vy2)
+
+
+def test_imagefolder_skips_non_image_entries(tmp_path):
+    """torchvision ImageFolder semantics: stray READMEs/.DS_Store/subdirs in
+    class folders are skipped, not decoded (a single stray file must not
+    abort a multi-hour cache build)."""
+    PIL = pytest.importorskip("PIL.Image")
+    from fullbatchtraining_tpu.data.datasets import _load_imagefolder
+
+    rng = np.random.default_rng(3)
+    for split in ("train", "val"):
+        for cls in ("cat", "dog"):
+            folder = tmp_path / split / cls
+            folder.mkdir(parents=True)
+            for j in range(2):
+                arr = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+                PIL.fromarray(arr).save(folder / f"{cls}_{j}.jpg", "JPEG")
+            (folder / "README.txt").write_text("not an image")
+            (folder / ".DS_Store").write_bytes(b"\x00junk")
+            (folder / "nested_dir").mkdir()
+
+    (tx, ty), (vx, vy) = _load_imagefolder(tmp_path, 32, "strays")
+    assert tx.shape[0] == 4 and vx.shape[0] == 4
+    assert sorted(ty.tolist()) == [0, 0, 1, 1]
+
+
+def test_synthetic_corrupt_cache_regenerates(config_dir, tmp_path, monkeypatch):
+    """A cache file truncated by a mid-write kill regenerates instead of
+    crashing every subsequent run at np.load."""
+    from fullbatchtraining_tpu.data import datasets as ds
+
+    first = ds._synthetic("CorruptTest", 16, 8, 3, 4)
+    cache_dir = __import__("pathlib").Path("/tmp/fbt_synthetic")
+    cache = next(cache_dir.glob("CorruptTest_*.npz"))
+    cache.write_bytes(b"PK\x03\x04 truncated")
+    again = ds._synthetic("CorruptTest", 16, 8, 3, 4)
+    np.testing.assert_array_equal(first[0][0], again[0][0])
+    cache.unlink(missing_ok=True)
