@@ -92,12 +92,14 @@ def make_grad_regularizer(cfg_reg, grad_fn: Callable):
         correction = lr / 4.0
 
         if implementation in ("autograd", "complex-step"):
-            out = tree_add_scaled(grads, hvp(params, batch_stats, grads, images, labels, key),
-                                  correction * block_strength)
-            if pre_grads is not None and acc_strength != 0.0:
-                out = tree_add_scaled(out, hvp(params, batch_stats, pre_grads, images, labels, key),
-                                      correction * acc_strength)
-            return out
+            # ONE fused HVP on the combined direction: the HVP is linear in
+            # v, so H(bs*g + as*pre) == bs*H(g) + as*H(pre) exactly — the
+            # reference's two-pass form (modules.py _double_autograd, whose
+            # own comment calls it "non-optimal") pays a second
+            # forward-over-reverse pass per chunk for the same result.
+            hv = hvp(params, batch_stats, direction(grads, pre_grads),
+                     images, labels, key)
+            return tree_add_scaled(grads, hv, correction)
 
         if implementation == "autograd-pen":
             def penalty(p):

@@ -24,6 +24,20 @@ see PARITY.md row 23 for the policy):
   exits through a cached alpha or a never-evaluated interpolant;
 - a restart leaves a zeros (non-None) momentum buffer, so the redo step is
   (1-dampening)*grad even on step 0 (sgd_linesearch.py:53-56).
+
+FIX vs reference — stochastic (per-block) closure mode: the reference's
+stochastic loop does ``step_loss = optimizer.step(closure)`` with a closure
+that returns the epoch's RUNNING SUM of block losses (training.py:262-281),
+but all three line-search ``step()`` methods return None
+(sgd_linesearch.py:57-90, :143-178, :283-345), so the second block's
+``step_loss += block_loss`` raises TypeError — stochastic + SGD line search
+CRASHES in the reference (only plain SGD and L-BFGS, whose steps return a
+loss, run). Our per-block drivers receive the block's own loss (the
+mathematically intended history/acceptance semantics) rather than
+replicating a crash; documented per the PARITY policy. The same applies to
+L-BFGS under stochastic mode: the reference feeds within-epoch running
+sums — inflated once more per Wolfe re-evaluation — into its Armijo/Wolfe
+conditions; we feed the block's actual loss.
 """
 
 from __future__ import annotations
@@ -251,9 +265,13 @@ class WolfeGradientDescent(_ResumableDriver):
 
     @staticmethod
     def _interpolate(a1, a2, lut):
-        """Cubic interpolation (sgd_linesearch.py:366-381)."""
+        """Cubic interpolation (sgd_linesearch.py:366-381); non-finite
+        endpoint values bisect (part of the NaN fix, see _zoom)."""
         if a1 == a2:
             return a1
+        if not all(math.isfinite(lut[a]["val"]) and math.isfinite(lut[a]["grad"])
+                   for a in (a1, a2)):
+            return 0.5 * (a1 + a2)
         quotient = (lut[a1]["val"] - lut[a2]["val"]) / (a1 - a2)
         d_1 = lut[a1]["grad"] + lut[a2]["grad"] - 3 * quotient
         radicand = d_1**2 - lut[a1]["grad"] * lut[a2]["grad"]
@@ -273,7 +291,8 @@ class WolfeGradientDescent(_ResumableDriver):
             alpha = self._interpolate(alpha_low, alpha_high, lut)
             val, grad, _ = phi_eval(alpha)
             sufficient = phi0["val"] + self.c1 * alpha * phi0["grad"]
-            if val > sufficient or val > lut[alpha_low]["val"]:
+            if (not math.isfinite(val) or val > sufficient
+                    or val > lut[alpha_low]["val"]):
                 alpha_high = alpha
             else:
                 if grad <= -self.c2 * phi0["grad"]:
@@ -306,7 +325,14 @@ class WolfeGradientDescent(_ResumableDriver):
         for _ in range(self.max_iter):
             val, grad, _ = phi_eval(alpha)
             sufficient = phi0["val"] + self.c1 * alpha * phi0["grad"]
-            if val > sufficient or val > prev_loss:
+            # FIX vs reference (NaN-producing defect, PARITY.md policy, same
+            # fix as lbfgs.py _wolfe): every comparison below is False for a
+            # NaN trial loss, so the reference loop grows alpha THROUGH an
+            # overflow until alpha_max and adopts a NaN-loss point as "the
+            # last successful step attempt" (sgd_linesearch.py:322-351). An
+            # illegal value is treated as an Armijo violation instead: zoom
+            # back into the bracket below it.
+            if not math.isfinite(val) or val > sufficient or val > prev_loss:
                 alpha = self._zoom(prev_alpha, alpha, phi_eval, phi0, lut)
                 break
             if abs(grad) <= -self.c2 * phi0["grad"]:

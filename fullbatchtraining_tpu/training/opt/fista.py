@@ -61,8 +61,6 @@ class FISTALineSearchDriver:
         self.x_prev = jax.tree.map(jnp.asarray, xp) if xp else None
 
     def step(self, state, images, labels):
-        import jax.numpy as jnp
-
         params = state.params  # y_k
         grads, bn, metrics = self.fns.gradient_eval(state, images, labels)
         bn_cur = bn  # stats chain through EVERY closure evaluation in order

@@ -486,6 +486,34 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
                 chunk_body, init, (flat_imgs, flat_lbls))
         return carry, grad_norms, clipped_flags
 
+    def _finalize_stats(params, step_loss, step_preds, full_grad_norm,
+                        clip_total, lr, pre_local):
+        """full_loss terms + the pre-psum scalar stack, shared by the
+        resident and streamed finalize programs (mirrors the reference's
+        _record_stats, training.py:86-119) so the formulas cannot drift
+        between the two paths. Returns (param_norm, scalars)."""
+        param_norm = tree_sqnorm(params)
+        full_loss = step_loss / num_blocks + 0.5 * weight_decay * param_norm
+        if hyp.grad_reg.block_strength != 0:
+            full_loss += lr / 4 * hyp.grad_reg.block_strength * full_grad_norm
+        if use_acc:
+            full_loss += (lr / 4 * hyp.grad_reg.acc_strength
+                          * tree_sqnorm(pre_local))
+        return param_norm, jnp.stack([step_loss, step_preds, full_loss,
+                                      full_grad_norm, clip_total])
+
+    def _metrics_from_package(package, param_norm):
+        """Post-psum metric dict, shared by the same two programs."""
+        step_loss, step_preds, full_loss, full_grad_norm, clipped = package
+        return {
+            "train_loss": step_loss / num_blocks / n_dev,
+            "train_acc": step_preds / (num_blocks * chunks * sub * n_dev),
+            "param_norm": param_norm,
+            "grad_norm": jnp.sqrt(full_grad_norm) / n_dev,
+            "full_loss": full_loss / n_dev,
+            "clipped_batches": clipped,
+        }
+
     def _local_accumulate(params, batch_stats, images, labels, key, lr):
         """images: (blocks, 1, chunks, sub, H, W, C) local shard."""
         images = images[:, 0]
@@ -509,22 +537,17 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         (avg, bn, step_loss, step_preds, _), grad_norms, clipped_flags = _run_chunks(
             bodies, init, flat_imgs, flat_lbls)
 
-        # ---- stats, mirroring _record_stats (training.py:86-119) ----
-        param_norm = tree_sqnorm(params)
-        full_grad_norm = grad_norms.mean()  # mean of squared chunk norms
-        full_loss = step_loss / num_blocks + 0.5 * weight_decay * param_norm
-        if hyp.grad_reg.block_strength != 0:
-            full_loss += lr / 4 * hyp.grad_reg.block_strength * full_grad_norm
-        if hyp.grad_reg.acc_strength != 0:
-            full_loss += lr / 4 * hyp.grad_reg.acc_strength * tree_sqnorm(pre_grads)
+        # ---- stats (shared _finalize_stats, mirroring _record_stats) ----
+        param_norm, scalars = _finalize_stats(
+            params, step_loss, step_preds,
+            grad_norms.mean(),  # mean of squared chunk norms
+            clipped_flags.sum(), lr, pre_grads)
 
         # The single coalesced collective of the step (grads + BN stats +
         # scalar stats + per-chunk norms in ONE psum over a pytree;
         # training/utils.py:31-41). The norms ride the psum as zero-padded
         # per-device slots so the output is fully replicated — a sharded
         # stats array would not be fetchable under process_count > 1.
-        scalars = jnp.stack([step_loss, step_preds, full_loss, full_grad_norm,
-                             clipped_flags.sum()])
         norm_slots = jnp.zeros((n_dev, grad_norms.shape[0]),
                                grad_norms.dtype).at[dev].set(grad_norms)
         avg, bn_sum, package, norms_all = jax.lax.psum(
@@ -532,15 +555,7 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
         avg = jax.tree.map(lambda a: a / n_dev, avg)
         bn = jax.tree.map(lambda b: b / n_dev, bn_sum) if bn else bn
 
-        step_loss, step_preds, full_loss, full_grad_norm, clipped_batches = package
-        metrics = {
-            "train_loss": step_loss / num_blocks / n_dev,
-            "train_acc": step_preds / (num_blocks * chunks * sub * n_dev),
-            "param_norm": param_norm,
-            "grad_norm": jnp.sqrt(full_grad_norm) / n_dev,
-            "full_loss": full_loss / n_dev,
-            "clipped_batches": clipped_batches,
-        }
+        metrics = _metrics_from_package(package, param_norm)
         return avg, bn, metrics, norms_all  # (n_dev, chunks), replicated
 
     data_spec = P(None, DATA_AXIS)
@@ -614,29 +629,14 @@ def make_train_functions(model, bundle: DataBundle, mesh: Mesh, cfg) -> TrainFun
     def _local_stream_finalize(params, carry, pre, lr):
         avg, bn, step_loss, step_preds, sq_sum, clip_sum = jax.tree.map(
             lambda x: x[0], carry)
-        param_norm = tree_sqnorm(params)
-        full_grad_norm = sq_sum / (num_blocks * chunks)
-        full_loss = step_loss / num_blocks + 0.5 * weight_decay * param_norm
-        if hyp.grad_reg.block_strength != 0:
-            full_loss += lr / 4 * hyp.grad_reg.block_strength * full_grad_norm
-        if use_acc:
-            pre_local = jax.tree.map(lambda x: x[0], pre)
-            full_loss += (lr / 4 * hyp.grad_reg.acc_strength
-                          * tree_sqnorm(pre_local))
-        scalars = jnp.stack([step_loss, step_preds, full_loss, full_grad_norm,
-                             clip_sum])
+        pre_local = jax.tree.map(lambda x: x[0], pre) if use_acc else None
+        param_norm, scalars = _finalize_stats(
+            params, step_loss, step_preds, sq_sum / (num_blocks * chunks),
+            clip_sum, lr, pre_local)
         avg, bn_sum, package = jax.lax.psum((avg, bn, scalars), DATA_AXIS)
         avg = jax.tree.map(lambda a: a / n_dev, avg)
         bn = jax.tree.map(lambda b: b / n_dev, bn_sum) if bn else bn
-        step_loss, step_preds, full_loss, full_grad_norm, clipped_batches = package
-        metrics = {
-            "train_loss": step_loss / num_blocks / n_dev,
-            "train_acc": step_preds / (num_blocks * chunks * sub * n_dev),
-            "param_norm": param_norm,
-            "grad_norm": jnp.sqrt(full_grad_norm) / n_dev,
-            "full_loss": full_loss / n_dev,
-            "clipped_batches": clipped_batches,
-        }
+        metrics = _metrics_from_package(package, param_norm)
         return avg, bn, metrics
 
     sharded_stream_finalize = jax.shard_map(
@@ -1431,6 +1431,17 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
             stochastic_now = not cfg.hyp.train_stochastic
 
         images, labels = stage_epoch(bundle, fns, mesh, cfg, step, cache)
+        # Visualization snapshots save the gradient THAT PRODUCED the step
+        # (the reference saves p.grad left at theta_k, training/utils.py:74):
+        # evaluate it at the PRE-step state now — the step functions donate
+        # their input buffers, so theta_k is gone afterwards. Costs one extra
+        # full pass per snapshot step (the jitted step doesn't return the
+        # gradient tree).
+        viz_grads = None
+        if cfg.analysis.save_model_every_nth_step is not None and (
+                step % cfg.analysis.save_model_every_nth_step == 0
+                or step + 1 >= cfg.hyp.steps):
+            viz_grads, _, _ = fns.gradient_eval(state, images, labels)
         if stochastic_now and fns.info["modification"] == "SAM":
             # SAM is fused into the jitted stochastic scan (two grads/block).
             state, metrics = fns.stochastic_step(state, images, labels)
@@ -1483,10 +1494,12 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
                 (step - 1) % cfg.analysis.save_model_every_nth_step == 0
                 or step >= cfg.hyp.steps):
             # Weights + grads + momentum/Nesterov update directions for
-            # loss-landscape trajectory plots (reference training.py:308-312).
+            # loss-landscape trajectory plots (reference training.py:308-312):
+            # grads were captured at the pre-step state above; momentum is
+            # read post-step (the reference reads both after optimizer.step).
             from .utils import save_state_for_visualization
 
-            grads, _, _ = fns.gradient_eval(state, images, labels)
+            grads = viz_grads
             opt_state = state.opt_state
             momentum_buf = getattr(opt_state, "momentum", None)
             if momentum_buf is not None and cfg.hyp.optim.get("nesterov", False):
@@ -1502,12 +1515,19 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
             break
 
         if cfg.hyp.stop_at_full_training_accuracy > 0:
+            # No length guard, matching the reference (training.py:321-323):
+            # min() over however many accs exist, so a run at 100% from its
+            # very first step stops immediately.
             last_n = stats["train_acc"][-cfg.hyp.stop_at_full_training_accuracy:]
-            if len(last_n) >= cfg.hyp.stop_at_full_training_accuracy and min(last_n) == 1:
+            if min(last_n) == 1:
                 log.info("Terminating training after fitting all datapoints.")
+                # final validation/analysis pass (reference training.py:324-328)
                 vm = jax.device_get(fns.eval_step(eval_params, eval_bn, *val_data))
                 stats["valid_loss"] += [float(vm["valid_loss"])]
                 stats["valid_acc"] += [float(vm["valid_acc"])]
+                if cfg.analysis.type is not None:
+                    from ..analysis import analyze
+                    analyze(model, bundle, mesh, cfg, fns, state, stats)
                 break
 
         if cfg.impl.checkpoint.name is not None:

@@ -31,7 +31,9 @@ def _checkpoint_file(cfg) -> Path:
 
 
 def _atomic_write(file: Path, payload: bytes) -> None:
-    tmp = file.with_suffix(".tmp")
+    # with_name, NOT with_suffix: with_suffix would REPLACE a dotted name
+    # component, colliding 'model.a' and 'model.b' on the same model.tmp
+    tmp = file.with_name(f"{file.name}.{os.getpid()}.tmp")
     tmp.write_bytes(payload)
     tmp.replace(file)  # atomic: readers never see partial checkpoints
 
@@ -182,12 +184,15 @@ def load_driver_state(driver, cfg) -> None:
 def save_state_for_visualization(state, grads, update_directions, cfg, path: str):
     """Weights + gradients + update directions for loss-landscape plots
     (reference training/utils.py:72-85)."""
-    payload = {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "model_cfg": dict(cfg.model),
-        "grads": jax.device_get(grads),
-        "update_directions": jax.device_get(update_directions),
-    }
-    data = serialization.msgpack_serialize(jax.tree.map(np.asarray, payload))
+    arrays = jax.tree.map(np.asarray, jax.device_get({
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "grads": grads,
+        "update_directions": update_directions,
+    }))
+    # model_cfg stays native python scalars/strings: np.asarray would turn
+    # strings into numpy unicode arrays, which msgpack_serialize writes but
+    # msgpack_restore cannot read back (np.dtype('strN') is not a dtype)
+    arrays["model_cfg"] = {k: v for k, v in dict(cfg.model).items()}
+    data = serialization.msgpack_serialize(arrays)
     Path(path).write_bytes(data)

@@ -144,3 +144,25 @@ def test_restarting_reset_uses_zeros_buffer_on_step0():
 
     np.testing.assert_allclose(np.asarray(state.params["w"]),
                                -0.1 * 0.5 * np.ones(2), rtol=1e-6)
+
+
+def test_wolfe_nan_trial_zooms_back_to_finite_point():
+    """FIX vs reference (same class as the L-BFGS _wolfe fix): a NaN trial
+    loss fails every Wolfe comparison, so the reference grows alpha THROUGH
+    the overflow to alpha_max and adopts a NaN-loss point as the step
+    (sgd_linesearch.py:322-351). Here the NaN counts as an Armijo violation:
+    zoom brackets below it and the step lands on a finite point."""
+    from fullbatchtraining_tpu.training.opt.closures import WolfeGradientDescent
+
+    # initial 10.0; alpha=1 overflows (nan); zoom bisects to 0.5 -> 5.0,
+    # which satisfies weak curvature and is accepted.
+    fns = _StubFns([10.0, float("nan"), 5.0])
+    drv = WolfeGradientDescent(fns, _cfg(c1=1e-4, c2=0.9, alpha_max=10.0,
+                                         max_iter=10))
+    state, metrics = drv.step(_state(), None, None)
+
+    assert fns.calls == 3
+    assert np.isfinite(float(metrics["train_loss"]))
+    np.testing.assert_allclose(np.asarray(state.params["w"]),
+                               -0.1 * 0.5 * np.ones(2), rtol=1e-6)
+    assert metrics["wolfe_alpha"] == pytest.approx(0.5)

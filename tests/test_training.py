@@ -1101,3 +1101,41 @@ def test_eval_chunked_equals_whole(config_dir, force):
                                metrics["whole"]["valid_loss"], rtol=1e-6)
     np.testing.assert_allclose(metrics["chunked"]["valid_acc"],
                                metrics["whole"]["valid_acc"], rtol=1e-12)
+
+
+def test_viz_snapshot_saves_pre_step_gradient(config_dir, tmp_path, monkeypatch):
+    """analysis.save_model_every_nth_step writes one snapshot per step whose
+    grads are the gradient THAT PRODUCED the step — evaluated at the
+    pre-step parameters, as the reference's leftover p.grad is
+    (training/utils.py:74) — not a post-step re-evaluation."""
+    from flax import serialization
+
+    from fullbatchtraining_tpu.training.training import (make_train_functions,
+                                                         stage_epoch)
+
+    monkeypatch.chdir(tmp_path)
+    overrides = ["data.augmentations_train=", "hyp.steps=2",
+                 "hyp.optim.weight_decay=0",
+                 "analysis.save_model_every_nth_step=1"]
+    cfg, mesh, bundle, model = _setup(config_dir, overrides)
+    state, stats = train(model, bundle, mesh, cfg)
+    files = sorted(tmp_path.glob(f"{cfg.name}_*_step_*.msgpack"))
+    assert len(files) == 2
+
+    # expected gradient at the INITIAL state, recomputed independently
+    cfg2, mesh2, bundle2, model2 = _setup(config_dir, overrides)
+    fns = make_train_functions(model2, bundle2, mesh2, cfg2)
+    variables = initialize_model(model2, jax.random.key(cfg2.seed or 0),
+                                 bundle2.pixels, bundle2.channels)
+    state0 = fns.init_state(variables)
+    images, labels = stage_epoch(bundle2, fns, mesh2, cfg2, 0, {})
+    grads0, _, _ = fns.gradient_eval(state0, images, labels)
+
+    payload = serialization.msgpack_restore(files[0].read_bytes())
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(payload["grads"]),
+            jax.tree_util.tree_leaves_with_path(jax.device_get(grads0)),
+            strict=True):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7,
+                                   err_msg=f"{pa} vs {pb}")
