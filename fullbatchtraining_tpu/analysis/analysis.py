@@ -117,7 +117,13 @@ def _grad_stats_programs(model, bundle, mesh, cfg, num_blocks, chunks, sub,
 
 
 def analyze(model, bundle, mesh, cfg, fns, state, stats, grads=None):
-    """Collect statistics about the current model state (analysis.py:9)."""
+    """Collect statistics about the current model state (analysis.py:9).
+
+    ``grads`` should be the gradient THAT PRODUCED the step (the reference
+    reads the leftover ``p.grad`` at theta_t while params are already
+    theta_{t+1}, analysis.py:28-41); the training loop passes it. The
+    ``grads=None`` fallback — standalone callers only — re-evaluates at the
+    CURRENT params, which is one step later than the reference's value."""
     a = cfg.analysis
     params = state.params
 

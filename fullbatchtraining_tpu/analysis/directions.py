@@ -31,7 +31,8 @@ def _filter_norms(x: jax.Array) -> jax.Array:
 
 
 def tree_norm(tree: Pytree) -> jax.Array:
-    return jnp.sqrt(sum(jnp.sum(jnp.square(leaf)) for leaf in jax.tree.leaves(tree)))
+    from ..training.grad_reg import tree_sqnorm  # single norm implementation
+    return jnp.sqrt(tree_sqnorm(tree))
 
 
 def _normalize_leaf(d: jax.Array, w: jax.Array, norm: str, ignore: str,
@@ -104,7 +105,11 @@ def perturb2threshold(params: Pytree, loss_fn: Callable[[Pytree], jax.Array],
     current = params
     while counter < max_steps:
         loss = float(loss_fn(current))
-        if loss > threshold:
+        # not math.isnan guard but an inverted comparison: a NaN loss (logits
+        # overflowed past inf-inf) must STOP the walk like a crossing — plain
+        # `loss > threshold` is False for NaN, which would burn all
+        # max_steps full-dataset evals and record a huge bogus flatness
+        if not (loss <= threshold):
             break
         current = set_parameter_offset(current, direction, step_size)
         counter += 1

@@ -60,18 +60,31 @@ class ConfigNode(dict):
 _SCI_FLOAT = re.compile(r"[-+]?(\d+(\.\d*)?|\.\d+)[eE][-+]?\d+")
 
 
-def from_dict(d: Any) -> Any:
-    """Recursively convert plain dicts to ConfigNodes.
+class _YamlLoader(yaml.SafeLoader):
+    """SafeLoader + YAML 1.2-style float resolution for PLAIN scalars.
 
-    Scientific-notation scalars like ``5e-4`` are strings under YAML 1.1
-    rules; coerce them to float, matching OmegaConf/Hydra behavior.
-    """
+    pyyaml implements YAML 1.1, where ``5e-4`` (no dot in the mantissa) is a
+    string; OmegaConf/Hydra parse it as a float. Registering an implicit
+    resolver reproduces the 1.2 behavior at PARSE time, so it applies only
+    to unquoted scalars — a deliberately quoted ``'1e-3'`` stays a string,
+    exactly as under Hydra (a post-hoc string coercion could not tell the
+    two apart and would destroy quoted values)."""
+
+
+_YamlLoader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(r"^[-+]?(\d+(\.\d*)?|\.\d+)[eE][-+]?\d+$"),
+    list("-+0123456789."))
+
+
+def from_dict(d: Any) -> Any:
+    """Recursively convert plain dicts to ConfigNodes (no value coercion:
+    scientific-notation floats are resolved at YAML parse time by
+    :class:`_YamlLoader`)."""
     if isinstance(d, dict):
         return ConfigNode({k: from_dict(v) for k, v in d.items()})
     if isinstance(d, (list, tuple)):
         return [from_dict(v) for v in d]
-    if isinstance(d, str) and _SCI_FLOAT.fullmatch(d):
-        return float(d)
     return d
 
 
@@ -87,25 +100,21 @@ def _deep_merge(base: ConfigNode, incoming: dict) -> ConfigNode:
 
 def _load_yaml(path: Path) -> dict:
     with open(path) as handle:
-        data = yaml.safe_load(handle)
+        data = yaml.load(handle, Loader=_YamlLoader)
     return data if data is not None else {}
 
 
 def _parse_value(text: str) -> Any:
-    """Parse an override value with yaml typing ('1e-2' stays a float, etc.)."""
+    """Parse an override value with yaml typing: unquoted ``1e-2`` is a
+    float (_YamlLoader), while explicitly quoted values — quotes that
+    survive the shell, e.g. ``name="'1e-3'"`` — stay strings, as under
+    Hydra's grammar."""
     if text == "":
         return None
     try:
-        value = yaml.safe_load(text)
+        return yaml.load(text, Loader=_YamlLoader)
     except yaml.YAMLError:
         return text
-    # yaml parses '1e-2' as a string under YAML 1.1 rules; fix scientific notation.
-    if isinstance(value, str):
-        try:
-            return float(value) if _SCI_FLOAT.fullmatch(value) else value
-        except ValueError:
-            return value
-    return value
 
 
 class _Composer:
@@ -268,6 +277,13 @@ def _apply_key_override(cfg: ConfigNode, mode: str, key: str, value: Any) -> Non
     elif mode == "set" and leaf not in node:
         raise KeyError(
             f"Could not override '{key}': key does not exist (use +{key}=... to add)."
+        )
+    elif mode == "add" and leaf in node:
+        # Hydra: "Could not append to config. An item is already at '<key>'"
+        # — a copy-pasted +key on an existing key must not silently replace it
+        raise KeyError(
+            f"Could not append '+{key}': the key already exists "
+            f"(value {node[leaf]!r}); drop the '+' to override it."
         )
     else:
         node[leaf] = from_dict(value)

@@ -49,6 +49,15 @@ def setup_distributed(cfg_setup) -> None:
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError) as err:
+        if int(cfg_setup.get("world_size") or 1) > 1:
+            # The user EXPLICITLY configured a multi-host job: continuing
+            # single-process would make every host believe it is rank 0 —
+            # N independent runs clobbering the same tables/checkpoints.
+            # The reference's rendezvous crashes here too (utils.py:30-35).
+            raise RuntimeError(
+                f"jax.distributed.initialize failed for the configured "
+                f"{cfg_setup.world_size}-process job ({err}); refusing to "
+                "continue single-process.") from err
         # No cluster environment to auto-detect (single-process run with
         # impl/setup=distributed), or backends already initialized.
         log.warning("jax.distributed.initialize skipped: %s", err)

@@ -1431,16 +1431,24 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
             stochastic_now = not cfg.hyp.train_stochastic
 
         images, labels = stage_epoch(bundle, fns, mesh, cfg, step, cache)
-        # Visualization snapshots save the gradient THAT PRODUCED the step
-        # (the reference saves p.grad left at theta_k, training/utils.py:74):
+        # Visualization snapshots and gradient-reading analysis consume the
+        # gradient THAT PRODUCED the step (the reference reads the leftover
+        # p.grad at theta_k, training/utils.py:74, analysis.py:28-41):
         # evaluate it at the PRE-step state now — the step functions donate
         # their input buffers, so theta_k is gone afterwards. Costs one extra
-        # full pass per snapshot step (the jitted step doesn't return the
+        # full pass per consuming step (the jitted step doesn't return the
         # gradient tree).
+        viz_due = cfg.analysis.save_model_every_nth_step is not None and (
+            step % cfg.analysis.save_model_every_nth_step == 0
+            or step + 1 >= cfg.hyp.steps)
+        analysis_grads_due = (
+            cfg.analysis.type is not None
+            and (cfg.analysis.get("measure_grad_norm", False)
+                 or cfg.analysis.get("check_momentum", False))
+            and ((step + 1) % cfg.analysis.check_every_nth_step == 0
+                 or step + 1 >= cfg.hyp.steps or cfg.dryrun))
         viz_grads = None
-        if cfg.analysis.save_model_every_nth_step is not None and (
-                step % cfg.analysis.save_model_every_nth_step == 0
-                or step + 1 >= cfg.hyp.steps):
+        if viz_due or analysis_grads_due:
             viz_grads, _, _ = fns.gradient_eval(state, images, labels)
         if stochastic_now and fns.info["modification"] == "SAM":
             # SAM is fused into the jitted stochastic scan (two grads/block).
@@ -1488,7 +1496,8 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
                 step % cfg.analysis.check_every_nth_step == 0
                 or step >= cfg.hyp.steps or cfg.dryrun):
             from ..analysis import analyze
-            analyze(model, bundle, mesh, cfg, fns, state, stats)
+            analyze(model, bundle, mesh, cfg, fns, state, stats,
+                    grads=viz_grads)
 
         if cfg.analysis.save_model_every_nth_step is not None and (
                 (step - 1) % cfg.analysis.save_model_every_nth_step == 0
@@ -1527,7 +1536,8 @@ def train(model, bundle: DataBundle, mesh: Mesh, cfg, stats=None):
                 stats["valid_acc"] += [float(vm["valid_acc"])]
                 if cfg.analysis.type is not None:
                     from ..analysis import analyze
-                    analyze(model, bundle, mesh, cfg, fns, state, stats)
+                    analyze(model, bundle, mesh, cfg, fns, state, stats,
+                            grads=viz_grads)
                 break
 
         if cfg.impl.checkpoint.name is not None:

@@ -299,13 +299,19 @@ def save_to_table(out_dir, table_name, dryrun, **kwargs):
     os.makedirs(out_dir, exist_ok=True)
     fname = os.path.join(out_dir, f"table_{table_name}.csv")
     fieldnames = list(kwargs.keys())
-    if not os.path.exists(fname):
+    existing = None
+    if os.path.exists(fname):
+        with open(fname, newline="") as handle:
+            existing = next(csv.reader(handle, delimiter="\t"), None)
+    if not existing:
+        # absent OR empty (killed between create and writeheader): (re)write
+        # the header — appending headerless rows would make every later run
+        # mistake the first data row for the header (reference
+        # utils.py:196-205 recreates the header on any read failure)
         with open(fname, "w", newline="") as handle:
             csv.DictWriter(handle, delimiter="\t", fieldnames=fieldnames).writeheader()
     else:
-        with open(fname, newline="") as handle:
-            existing = next(csv.reader(handle, delimiter="\t"), None)
-        if existing and existing != fieldnames:
+        if existing != fieldnames:
             dropped = [k for k in fieldnames if k not in existing]
             if dropped:
                 log.warning("Summary table %s: dropping columns not in the "

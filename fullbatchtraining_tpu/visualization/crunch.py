@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import logging
 import time
-from collections import defaultdict
 
 import jax
 import jax.numpy as jnp
@@ -59,15 +58,26 @@ def make_surface_programs(model, bundle, mesh, cfg, chunks, sub,
     running sum, so any segmentation yields bitwise-identical sums."""
     criterion = get_loss_fn(cfg.hyp, cfg.data.batch_size)
     mean, std = jnp.asarray(bundle.mean), jnp.asarray(bundle.std)
+    # Same compute-dtype rule as the training/eval forwards (training.py
+    # make_train_functions; the reference crunch runs under
+    # autocast(enabled=cfg.impl.mixed_precision), crunch.py:84): bf16
+    # recipes evaluate the surface in bf16 on the MXU, fp32/fp64 states in
+    # their own dtype. Loss scalars upcast to at-least-float32.
+    from ..training.training import _DTYPES
+    _forced = (_DTYPES[cfg.impl.compute_dtype] if cfg.impl.compute_dtype
+               else (jnp.bfloat16 if cfg.impl.mixed_precision else None))
 
     def block_metrics(params, batch_stats, images, labels):
         def loss_fn(p):
-            x = normalize_images(images, mean, std) if bundle.normalize \
-                else images.astype(jnp.float32) / 255.0
-            variables = {"params": p}
+            param_dtype = jax.tree.leaves(p)[0].dtype
+            cdt = _forced or param_dtype
+            stat_dtype = jnp.promote_types(param_dtype, jnp.float32)
+            x = normalize_images(images, mean, std, cdt) if bundle.normalize \
+                else images.astype(cdt) / 255.0
+            variables = {"params": jax.tree.map(lambda w: w.astype(cdt), p)}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
-            logits = model.apply(variables, x, train=False)
+            logits = model.apply(variables, x, train=False).astype(stat_dtype)
             loss = criterion(logits, labels)
             correct = (logits.argmax(-1) == labels).astype(jnp.float32).sum()
             return loss, correct
@@ -116,9 +126,8 @@ def make_surface_programs(model, bundle, mesh, cfg, chunks, sub,
     return segment, finalize
 
 
-def crunch(model, bundle, mesh, cfg, fns, state, stats=None):
+def crunch(model, bundle, mesh, cfg, fns, state):
     """Evaluate the loss surface around ``state.params`` (crunch.py:18)."""
-    stats = stats if stats is not None else defaultdict(list)
     viz = cfg.viz
     params = state.params
 
@@ -206,6 +215,21 @@ def crunch(model, bundle, mesh, cfg, fns, state, stats=None):
     datapoints = num_blocks * chunks * sub * n_dev
     for start in range(0, len(todo), group):
         batch_positions = todo[start:start + group]
+        # Re-check the store before claiming: a cooperating job launched
+        # after our initial pending() read may have claimed or computed
+        # these (the reference re-reads the DB per position, crunch.py:147;
+        # with claims written BEFORE compute, the duplicate-work window is
+        # one group). Rank 0's view wins under multi-host, as above.
+        fresh = set(map(tuple, store.pending(batch_positions, ttl=claim_ttl)))
+        if multi:
+            from jax.experimental import multihost_utils
+            mask = multihost_utils.broadcast_one_to_all(
+                np.array([tuple(p) in fresh for p in batch_positions], bool))
+            batch_positions = [p for p, m in zip(batch_positions, mask) if m]
+        else:
+            batch_positions = [p for p in batch_positions if tuple(p) in fresh]
+        if not batch_positions:
+            continue
         if jax.process_index() == 0:
             store.claim(batch_positions)  # cooperating jobs skip these
         pad = group - len(batch_positions)

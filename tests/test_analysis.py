@@ -187,3 +187,25 @@ def test_flatness(config_dir):
     state, stats = train(model, bundle, mesh, cfg)
     assert "analysis_empirical_flatness" in stats
     assert stats["analysis_empirical_flatness"][-1] >= 0
+
+
+def test_perturb2threshold_stops_on_nan_loss():
+    """A NaN loss (logits overflowed) must stop the walk like a threshold
+    crossing: `loss > threshold` is False for NaN, which would burn all
+    max_steps full-dataset evaluations and record a bogus flatness."""
+    import jax
+    import jax.numpy as jnp
+
+    from fullbatchtraining_tpu.analysis.directions import perturb2threshold
+
+    params = {"w": jnp.ones((4, 4))}
+    calls = []
+
+    def loss_fn(p):
+        calls.append(1)
+        return jnp.asarray(float("nan") if len(calls) > 2 else 0.0)
+
+    dist, counter = perturb2threshold(params, loss_fn, jax.random.key(0),
+                                      step_size=0.1, threshold=1.0,
+                                      max_steps=50)
+    assert counter == 2  # stopped at the first NaN, not at max_steps

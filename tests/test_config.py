@@ -2,6 +2,8 @@
 
 from pathlib import Path
 
+import pytest
+
 from fullbatchtraining_tpu.config import load_config, to_yaml
 
 
@@ -285,3 +287,32 @@ def test_every_config_key_is_consumed_or_documented_inert(config_dir):
     assert not unconsumed, (
         "Config keys defined but never read in source and not allowlisted as "
         f"inert: {unconsumed}")
+
+
+def test_quoted_scientific_strings_stay_strings(config_dir, tmp_path):
+    """YAML 1.2 float resolution happens at PARSE time, so quoting still
+    protects string-typed values (OmegaConf behavior): unquoted 5e-4 is a
+    float, quoted '1e-3' is a string — in files and CLI overrides alike."""
+    from fullbatchtraining_tpu.config import _load_yaml, _parse_value
+
+    f = tmp_path / "t.yaml"
+    f.write_text("plain: 5e-4\nquoted: '1e-3'\n")
+    data = _load_yaml(f)
+    assert data["plain"] == 5e-4 and isinstance(data["plain"], float)
+    assert data["quoted"] == "1e-3" and isinstance(data["quoted"], str)
+
+    assert isinstance(_parse_value("1e-3"), float)
+    assert _parse_value("'1e-3'") == "1e-3"
+
+    cfg = load_config(config_dir, overrides=["name='2e1'"])
+    assert cfg.name == "2e1"
+
+
+def test_plus_override_on_existing_key_errors(config_dir):
+    """Hydra refuses '+key=...' when the key exists ('Could not append to
+    config'); a copy-pasted + must not silently replace a live value."""
+    with pytest.raises(KeyError, match="already exists"):
+        load_config(config_dir, overrides=["+hyp.steps=200"])
+    # the documented remedy works
+    cfg = load_config(config_dir, overrides=["hyp.steps=200"])
+    assert cfg.hyp.steps == 200

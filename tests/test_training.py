@@ -307,7 +307,7 @@ def test_device_shuffle_matches_host_shuffle(config_dir):
 
 def test_device_shuffle_with_replacement(config_dir):
     cfg, mesh, bundle, model = _setup(config_dir, [
-        "hyp.shuffle=True", "+hyp.sample_with_replacement=True",
+        "hyp.shuffle=True", "hyp.sample_with_replacement=True",
         "data.augmentations_train="])
     fns = make_train_functions(model, bundle, mesh, cfg)
     dev = stage_epoch(bundle, fns, mesh, cfg, 1, {})

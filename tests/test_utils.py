@@ -106,3 +106,21 @@ def test_save_to_table_header_reconciliation(tmp_path):
     assert rows[1]["momentum"] == ""        # missing -> empty, not misaligned
     assert rows[1]["lr"] == "0.2"
     assert "betas" not in rows[1]           # new column dropped, not shifted
+
+
+def test_save_to_table_rewrites_header_on_empty_file(tmp_path):
+    """A table file left empty by a kill between create and writeheader must
+    get a fresh header (reference utils.py:196-205 recreates it on any read
+    failure) — otherwise every later run mistakes the first data row for the
+    header and writes empty cells forever."""
+    import csv
+
+    from fullbatchtraining_tpu.utils import save_to_table
+
+    (tmp_path / "table_runs.csv").write_text("")  # the crash artifact
+    save_to_table(str(tmp_path), "runs", dryrun=False, name="a", acc=0.5)
+    save_to_table(str(tmp_path), "runs", dryrun=False, name="b", acc=0.7)
+    with open(tmp_path / "table_runs.csv", newline="") as handle:
+        rows = list(csv.reader(handle, delimiter="\t"))
+    assert rows[0] == ["name", "acc"]
+    assert [r[0] for r in rows[1:]] == ["a", "b"]
