@@ -49,7 +49,8 @@ def main(overrides=None, job_num=None, sweep_stamp=None):
 
     if cfg.impl.checkpoint.name is not None:
         file = checkpoint_dir / str(cfg.impl.checkpoint.name)
-        state, step = load_checkpoint(state, cfg, max_steps=float("inf"), require=True, file=file)
+        state, step = load_checkpoint(state, cfg, max_steps=float("inf"),
+                                      require=True, file=file, mesh=mesh)
         log.info("Loaded model checkpoint from step %d successfully.", step)
     else:
         cfg.impl.checkpoint.name = cfg.name

@@ -105,7 +105,13 @@ class DenseNet(nn.Module):
         num_features = self.num_init_features
         for block_idx, num_layers in enumerate(self.block_config):
             for layer_idx in range(num_layers):
-                layer = _DenseLayer(
+                # pick the class BEFORE constructing: instantiating a named
+                # module registers the name on the parent, so building a
+                # throwaway _DenseLayer and then a remat twin with the same
+                # name raises flax NameInUseError
+                layer_cls = (nn.remat(_DenseLayer, static_argnums=(2,))
+                             if self.memory_efficient else _DenseLayer)
+                layer = layer_cls(
                     growth_rate=self.growth_rate,
                     bn_size=self.bn_size,
                     drop_rate=self.drop_rate,
@@ -115,14 +121,6 @@ class DenseNet(nn.Module):
                     memory_efficient=self.memory_efficient,
                     name=f"block{block_idx + 1}_layer{layer_idx + 1}",
                 )
-                if self.memory_efficient:
-                    # rematerialize the dense layer to trade FLOPs for HBM
-                    layer = nn.remat(type(layer), static_argnums=(2,))(
-                        growth_rate=self.growth_rate, bn_size=self.bn_size,
-                        drop_rate=self.drop_rate, conv=conv, norm=norm, nonlin=nonlin,
-                        memory_efficient=True,
-                        name=f"block{block_idx + 1}_layer{layer_idx + 1}",
-                    )
                 new = layer(x, train)
                 x = jnp.concatenate([x, new], axis=-1)
                 num_features += self.growth_rate

@@ -122,7 +122,10 @@ class WSConv2d(nn.Module):
             preferred_element_type=x.dtype,
         )
         if self.bias:
-            out = out + self.param("bias", nn.initializers.zeros, (self.features,)).astype(x.dtype)
+            # reference WSConv2D overrides only the weight (xavier,
+            # nfnets.py:269); the bias keeps torch Conv2d's default uniform
+            out = out + self.param("bias", torch_default_bias(fan_in),
+                                   (self.features,)).astype(x.dtype)
         return out
 
 
@@ -142,27 +145,29 @@ class _TorchBatchNorm(nn.Module):
     with the biased one. Matching torch here keeps eval-mode logits of
     converted checkpoints and long-trained running stats aligned with the
     reference (train-mode parity test in tests/test_model_oracles.py).
-    Statistics are computed in ``stat_dtype`` (float32 default) regardless
-    of compute dtype; float64 models (trajectory-oracle runs) pass
-    stat_dtype=float64 to match torch's all-double BN.
+    Statistics are computed in at-least-float32 — bf16/f16 inputs upcast,
+    while float64 inputs (trajectory-oracle runs) keep full double to match
+    torch's all-double BN (the same promote rule as GhostBatchNorm); pass
+    ``stat_dtype`` to force a dtype.
     """
 
     channels: int
     momentum: float = 0.9  # flax convention: ra = m * ra + (1 - m) * new
     epsilon: float = 1e-5
     scale_init: Callable = nn.initializers.ones
-    stat_dtype: Any = jnp.float32
+    stat_dtype: Any = None  # None: promote_types(x.dtype, float32)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        scale = self.param("scale", self.scale_init, (self.channels,), self.stat_dtype)
-        bias = self.param("bias", nn.initializers.zeros, (self.channels,), self.stat_dtype)
+        stat_dtype = self.stat_dtype or jnp.promote_types(x.dtype, jnp.float32)
+        scale = self.param("scale", self.scale_init, (self.channels,), stat_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,), stat_dtype)
         ra_mean = self.variable("batch_stats", "mean",
-                                lambda: jnp.zeros(self.channels, self.stat_dtype))
+                                lambda: jnp.zeros(self.channels, stat_dtype))
         ra_var = self.variable("batch_stats", "var",
-                               lambda: jnp.ones(self.channels, self.stat_dtype))
+                               lambda: jnp.ones(self.channels, stat_dtype))
         if train:
-            xf = x.astype(self.stat_dtype)
+            xf = x.astype(stat_dtype)
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axes)
             var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
@@ -174,7 +179,7 @@ class _TorchBatchNorm(nn.Module):
                                 + (1 - self.momentum) * var * (n / max(n - 1, 1)))
         else:
             mean, var = ra_mean.value, ra_var.value
-        y = (x.astype(self.stat_dtype) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = (x.astype(stat_dtype) - mean) * jax.lax.rsqrt(var + self.epsilon)
         return (y * scale + bias).astype(x.dtype)
 
 
@@ -243,8 +248,11 @@ def get_layer_functions(convolution_type: str, norm: str, nonlin: str):
     elif ct == "standardized":
         def conv_layer(features, kernel_size=3, stride=1, padding=0, groups=1, bias=False,
                        dilation=1, name=None, **_):
+            # bias passes THROUGH (reference conv_layer = WSConv2D and the
+            # callers' bias=use_bias, utils.py:14 + resnets.py:70): a
+            # standardized ResNet under BatchNorm has NO conv biases
             return WSConv2d(features=features, kernel_size=kernel_size, stride=stride,
-                            padding=padding, groups=groups, bias=True, dilation=dilation, name=name)
+                            padding=padding, groups=groups, bias=bias, dilation=dilation, name=name)
     else:
         raise ValueError(f"Invalid convolution type {convolution_type} provided.")
 

@@ -174,9 +174,20 @@ def maxup_loss(logits, labels, ntrials: int = 10):
 
 def get_loss_fn(cfg_hyp, batch_size=None) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Loss dispatch mirroring reference training.py:391-413 (which receives
-    the batch size for the 'batch-maxup' modification)."""
+    the batch size for the 'batch-maxup' modification).
+
+    Maxup + label smoothing raises, as in the reference ("Loss modification
+    not implemented in conjunction with label smoothing",
+    training.py:393-400) — but only for smoothing != 0. The reference's
+    guard tests ``label_smoothing not in [None, ""]``, so the DEFAULT 0.0
+    also trips it, making every maxup run require label_smoothing=null as a
+    workaround; treating 0.0 as no-smoothing implements the guard's intent
+    (documented fix, PARITY policy)."""
     smoothing = float(cfg_hyp.label_smoothing or 0.0)
     modification = cfg_hyp.loss_modification
+    if smoothing and modification is not None and modification != "incorrect-xent":
+        raise ValueError(
+            "Loss modification not implemented in conjunction with label smoothing.")
 
     if modification is None:
         def loss_fn(logits, labels):

@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import WSConv2d, avg_pool, global_avg_pool, torch_linear_init
+from .layers import (WSConv2d, avg_pool, global_avg_pool, torch_default_bias,
+                     torch_linear_init)
 
 nfnet_params = {
     "F0": {"width": [256, 512, 1536, 1536], "depth": [1, 2, 6, 3], "train_imsize": 192,
@@ -57,9 +58,13 @@ class SqueezeExcite(nn.Module):
         act = vp_activation(self.activation)
         hidden = max(1, int(self.channels * self.se_ratio))
         pooled = jnp.mean(x, axis=(1, 2))
-        out = nn.Dense(hidden, name="linear", kernel_init=torch_linear_init)(pooled)
+        # reference SE uses plain nn.Linear (nfnets.py:305-306): torch
+        # default weight AND bias inits
+        out = nn.Dense(hidden, name="linear", kernel_init=torch_linear_init,
+                       bias_init=torch_default_bias(pooled.shape[-1]))(pooled)
         out = nn.Dense(self.channels, name="linear_1",
-                       kernel_init=torch_linear_init)(act(out))
+                       kernel_init=torch_linear_init,
+                       bias_init=torch_default_bias(hidden))(act(out))
         out = jax.nn.sigmoid(out)
         return out[:, None, None, :]
 
@@ -169,5 +174,8 @@ class NFNet(nn.Module):
         x = global_avg_pool(x)
         if train and self.use_dropout and params["drop_rate"] > 0:
             x = nn.Dropout(params["drop_rate"], deterministic=False)(x)
+        # reference overrides only the weight (normal 0.01, nfnets.py:154);
+        # the bias keeps the torch Linear default uniform
         return nn.Dense(self.classes, name="linear",
-                        kernel_init=nn.initializers.normal(0.01))(x)
+                        kernel_init=nn.initializers.normal(0.01),
+                        bias_init=torch_default_bias(x.shape[-1]))(x)

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import (_TorchBatchNorm, avg_pool, global_avg_pool,
-                     kaiming_normal_out, torch_linear_init)
+                     kaiming_normal_out, torch_default_bias, torch_linear_init)
 
 
 def _conv(features, kernel_size=3, stride=1, padding=1, name=None):
@@ -109,5 +109,6 @@ class PyramidNet(nn.Module):
         x = nn.relu(x)
         x = global_avg_pool(x)
         # fc keeps torch Linear defaults (reference inits convs/BN only,
-        # pyramidnets.py:158-164)
-        return nn.Dense(self.classes, name="fc", kernel_init=torch_linear_init)(x)
+        # pyramidnets.py:158-164) — weight AND bias (uniform, not zeros)
+        return nn.Dense(self.classes, name="fc", kernel_init=torch_linear_init,
+                        bias_init=torch_default_bias(x.shape[-1]))(x)

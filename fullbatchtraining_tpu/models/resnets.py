@@ -18,6 +18,14 @@ Notes vs the reference:
 * ``BottleneckSkipInit.__init__`` in the reference calls
   ``super(Bottleneck, ...)`` (resnets.py:330), skipping Bottleneck's own
   init — harmless there, nothing to replicate here.
+* ``initialization: skip-residual`` (every stock ResNet config) actually
+  ENABLES zero-init-residual here. The reference tests ``'skip_residual' in
+  cfg_model.initialization`` with an underscore (models.py:22) against
+  configs that spell it with a hyphen, so the documented init silently never
+  fired there — its runs used bn2/bn3 scale 1. We implement the configured
+  intent (the goodfellow-style zero residual start the configs ask for),
+  per the document-and-fix policy; from-scratch init distributions
+  therefore differ from the reference's accidental ones.
 """
 
 from __future__ import annotations
@@ -303,8 +311,11 @@ class ResNet(nn.Module):
             width *= 2
 
         x = global_avg_pool(x)
-        return nn.Dense(self.classes, name="fc",
-                        kernel_init=torch_linear_init, bias_init=nn.initializers.zeros)(x)
+        # fc keeps torch Linear defaults: the reference init loop touches
+        # only Conv2d/BN (resnets.py:110-114), so the bias is
+        # uniform(+-1/sqrt(fan_in)), not zeros
+        return nn.Dense(self.classes, name="fc", kernel_init=torch_linear_init,
+                        bias_init=torch_default_bias(x.shape[-1]))(x)
 
 
-from .layers import torch_linear_init  # noqa: E402  (shared torch Linear default)
+from .layers import torch_default_bias, torch_linear_init  # noqa: E402  (shared torch Linear defaults)

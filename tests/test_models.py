@@ -163,3 +163,66 @@ def test_avg_pool_count_include_pad_matches_torch():
             count_include_pad=True).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(np.asarray(ours_inc), ref_inc,
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_memory_efficient_densenet_matches_plain(config_dir):
+    """memory_efficient=True is pure rematerialization: same params, same
+    forward as the plain layer (it crashed at init before — the remat twin
+    re-registered the layer name)."""
+    from fullbatchtraining_tpu.models.densenets import DenseNet
+
+    outs = {}
+    for me in (False, True):
+        # tiny block config: the crash was name registration, not depth
+        model = DenseNet(growth_rate=4, block_config=(2, 2),
+                         num_init_features=8, classes=10,
+                         memory_efficient=me)
+        variables = initialize_model(model, jax.random.key(0), 16, 3)
+        outs[me] = model.apply(variables, jnp.ones((2, 16, 16, 3)), train=False)
+    np.testing.assert_allclose(np.asarray(outs[False]), np.asarray(outs[True]),
+                               rtol=1e-6)
+
+
+def test_standardized_convs_have_no_bias_under_batchnorm(config_dir):
+    """Reference conv_layer=WSConv2D receives bias=use_bias (False for BN
+    nets, utils.py:14 + resnets.py:70): a standardized ResNet must not grow
+    conv biases the reference doesn't have."""
+    cfg = load_config(config_dir, overrides=[
+        "model=resnet20", "model.convolution=standardized"])
+    model = construct_model(cfg.model, 3, 10)
+    variables = initialize_model(model, jax.random.key(0), 32, 3)
+    conv_biases = [p for p, _ in jax.tree_util.tree_flatten_with_path(
+        variables["params"])[0]
+        if "conv" in str(p).lower() and str(p[-1].key) == "bias"]
+    assert not conv_biases, conv_biases
+    # WSConv gains are still there
+    gains = [p for p, _ in jax.tree_util.tree_flatten_with_path(
+        variables["params"])[0] if str(p[-1].key) == "gain"]
+    assert gains
+
+
+def test_fc_bias_keeps_torch_default_uniform(config_dir):
+    """The reference init loop touches only Conv2d/BN (resnets.py:110-114):
+    the classifier bias keeps torch's uniform(+-1/sqrt(fan_in)) draw, not
+    zeros."""
+    cfg = load_config(config_dir, overrides=["model=resnet20"])
+    model = construct_model(cfg.model, 3, 10)
+    variables = initialize_model(model, jax.random.key(0), 32, 3)
+    b = np.asarray(variables["params"]["fc"]["bias"])
+    assert np.any(b != 0.0)
+    fan_in = variables["params"]["fc"]["kernel"].shape[0]
+    assert np.all(np.abs(b) <= 1.0 / np.sqrt(fan_in) + 1e-8)
+
+
+def test_maxup_with_label_smoothing_raises(config_dir):
+    """Reference training.py:393-400 rejects the combination; the DEFAULT
+    label_smoothing=0.0 must NOT trip the guard (documented fix — the
+    reference's `not in [None, '']` test made maxup unreachable)."""
+    from fullbatchtraining_tpu.models.modules import get_loss_fn
+
+    cfg = load_config(config_dir, overrides=[
+        "hyp.loss_modification=maxup-4", "hyp.label_smoothing=0.1"])
+    with pytest.raises(ValueError, match="label smoothing"):
+        get_loss_fn(cfg.hyp, 32)
+    cfg = load_config(config_dir, overrides=["hyp.loss_modification=maxup-4"])
+    assert get_loss_fn(cfg.hyp, 32) is not None

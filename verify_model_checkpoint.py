@@ -46,7 +46,7 @@ def main(overrides=None, job_num=None, sweep_stamp=None):
                                  bundle.channels)
     state = fns.init_state(variables)
     state, step = load_checkpoint(state, cfg, max_steps=float("inf"), require=True,
-                                  file=checkpoint_path)
+                                  file=checkpoint_path, mesh=mesh)
 
     val = stage_validation(bundle, mesh, fns.num_devices, bundle.batch_size,
                            dryrun=cfg.dryrun, cfg_impl=cfg.impl)
