@@ -89,12 +89,19 @@ def main():
     try:
         compiled = fns.full_step.lower(state, images, labels).compile()
         step_fn = compiled
-        if fns.group == 1:
-            ca = compiled.cost_analysis()
-            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-            step_flops = float(ca["flops"]) * num_blocks * chunks
     except Exception:
         step_fn = fns.full_step
+    else:
+        # cost_analysis failures must NOT discard the compiled executable:
+        # falling back to fns.full_step here would re-trace and re-compile
+        # the whole program a second time on the cold tunnel path
+        try:
+            if fns.group == 1:
+                ca = compiled.cost_analysis()
+                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                step_flops = float(ca["flops"]) * num_blocks * chunks
+        except Exception:
+            step_flops = None
     _mark("step compiled")
 
     # Warmup

@@ -5,6 +5,12 @@ with the exact parallel merge (Chan et al.) so per-device accumulations
 combine across the mesh - the reference recorded local-shard statistics only
 ("this is a limited sample in a DDP distributed setting", analysis.py:64);
 merging makes them global.
+
+FIX vs reference (documented per the PARITY policy): ``welford_finalize``
+guards its divisors — sample variance uses ``max(count - 1, 1)`` and the
+norm averages ``max(count, 1)`` — so a 0/1-sample finalize returns zeros
+where the reference's ``M2 / (count - 1)`` (welford.py:36-39) produces
+inf/nan that would poison the SNR/noise-scale stats downstream.
 """
 
 from __future__ import annotations

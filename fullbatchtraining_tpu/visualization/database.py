@@ -53,7 +53,13 @@ class SurfaceStore:
             "x_direction": jax.tree.map(np.asarray, jax.device_get(x_direction)),
             "y_direction": jax.tree.map(np.asarray, jax.device_get(y_direction)),
         }
-        self.meta_file.write_bytes(serialization.msgpack_serialize(payload))
+        # pid-unique temp + atomic rename: a kill mid-write of the multi-MB
+        # sidecar must never leave exists()==True with a truncated payload
+        # (which would wedge every resume until manually deleted)
+        tmp = self.meta_file.with_name(
+            f"{self.meta_file.name}.{os.getpid()}.tmp")
+        tmp.write_bytes(serialization.msgpack_serialize(payload))
+        tmp.replace(self.meta_file)
 
     def load(self, params_template):
         payload = serialization.msgpack_restore(self.meta_file.read_bytes())
@@ -67,8 +73,16 @@ class SurfaceStore:
 
     def verify_model(self, params):
         """Returns the loaded (params, dx, dy) when the stored snapshot
-        matches ``params``, else None — one disk read for the caller."""
-        loaded = self.load(params)
+        matches ``params``, else None — one disk read for the caller. A
+        snapshot that cannot even be restored into this model's tree (a
+        different architecture under the same database name) is 'does not
+        match', not a flax traceback."""
+        try:
+            loaded = self.load(params)
+        except Exception as err:  # mismatched tree / incompatible payload
+            log.warning("Stored surface snapshot at %s does not restore "
+                        "into this model (%s).", self.meta_file, err)
+            return None
         for a, b in zip(jax.tree.leaves(loaded[0]),
                         jax.tree.leaves(jax.device_get(params))):
             if not np.array_equal(np.asarray(a), np.asarray(b)):

@@ -152,3 +152,24 @@ def test_crunch_claims_enable_work_sharing(config_dir, tmp_path):
     # stale claims are retried
     store.claim(positions[1:2])
     assert store.pending(positions[1:2], ttl=-1.0) == positions[1:2]
+
+
+def test_surface_store_rejects_other_architecture(tmp_path):
+    """A stored snapshot from a DIFFERENT architecture under the same
+    database name must read as 'does not match' (None -> crunch's clean
+    ValueError), not propagate a flax restore traceback; and create() is
+    atomic, so a torn sidecar can never wedge the store."""
+    import jax
+    import jax.numpy as jnp
+
+    from fullbatchtraining_tpu.visualization.database import SurfaceStore
+
+    store = SurfaceStore(tmp_path / "s.directions.msgpack")
+    small = {"w": jnp.ones((2, 2))}
+    store.create(small, small, small)
+    assert store.verify_model(small) is not None
+    other_tree = {"w": jnp.ones((2, 2)), "extra": jnp.zeros((3,))}
+    assert store.verify_model(other_tree) is None  # tree mismatch, no raise
+    other_shape = {"w": jnp.ones((4, 4))}
+    assert store.verify_model(other_shape) is None
+    assert not list(tmp_path.glob("*.tmp"))  # atomic create left no temps
